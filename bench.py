@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched QPs solved per second.
+
+Workload mirrors the reference's prof-gurobi harness
+(/root/reference/prof-gurobi.py:52-61): per-batch-element random feasible
+dense QPs with nz=100, nineq=100, neq=0 — fully batched parameters, so no
+shared-factorization shortcut is taken.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+
+vs_baseline = our QPs/sec divided by the reference implementation's
+(locuslab/qpth, torch) QPs/sec measured on the same host at the same
+workload shape (smaller batch, per-QP rate extrapolated linearly — CPU
+torch throughput is batch-linear at these sizes).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NZ = int(os.environ.get("BENCH_NZ", 100))
+NINEQ = int(os.environ.get("BENCH_NINEQ", 100))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+REF_BATCH = int(os.environ.get("BENCH_REF_BATCH", 64))
+TRIALS = int(os.environ.get("BENCH_TRIALS", 5))
+
+
+def make_problem(nbatch, nz, nineq, seed=0):
+    npr = np.random.RandomState(seed)
+    L = npr.rand(nbatch, nz, nz)
+    Q = np.matmul(L, L.transpose(0, 2, 1)) + 1e-3 * np.eye(nz)
+    G = npr.randn(nbatch, nineq, nz)
+    z0 = npr.randn(nbatch, nz)
+    s0 = npr.rand(nbatch, nineq)
+    p = npr.randn(nbatch, nz)
+    h = np.einsum("bmn,bn->bm", G, z0) + s0
+    return Q, p, G, h
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+
+    import qpth_tpu
+
+    Q, p, G, h = make_problem(BATCH, NZ, NINEQ)
+    dt = jnp.float32
+    args = [jnp.asarray(v, dt) for v in (Q, p, G, h)]
+    cfg = qpth_tpu.SolverConfig(check_Q_spd=False)
+
+    @jax.jit
+    def run(Q, p, G, h):
+        return qpth_tpu.solve_qp_full(Q, p, G, h, config=cfg)
+
+    sol = run(*args)  # compile + warmup
+    jax.block_until_ready(sol)
+    conv = float(np.asarray(sol.stats.best_resids).max())
+
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(*args))
+        times.append(time.perf_counter() - t0)
+    dt_s = min(times)
+    return BATCH / dt_s, conv, dt_s
+
+
+def bench_reference():
+    """Reference qpth (torch) on the same workload shape. Returns QPs/sec
+    or None if unavailable."""
+    try:
+        import types
+
+        if "cvxpy" not in sys.modules:
+            sys.modules["cvxpy"] = types.ModuleType("cvxpy")
+        sys.path.insert(0, "/root/reference")
+        import torch
+        from qpth.qp import QPFunction
+    except Exception:
+        return None
+
+    Q, p, G, h = make_problem(REF_BATCH, NZ, NINEQ)
+    cuda = torch.cuda.is_available()
+    t = lambda x: torch.tensor(
+        x, dtype=torch.float64, device="cuda" if cuda else "cpu")
+    e = torch.tensor([])
+    args = [t(Q), t(p), t(G), t(h), e, e]
+    f = QPFunction(verbose=-1, check_Q_spd=False)
+    f(*args)  # warmup
+    times = []
+    for _ in range(max(2, TRIALS // 2)):
+        t0 = time.perf_counter()
+        f(*args)
+        times.append(time.perf_counter() - t0)
+    return REF_BATCH / min(times)
+
+
+def main():
+    qps, max_resid, secs = bench_ours()
+    ref_qps = bench_reference()
+    vs = (qps / ref_qps) if ref_qps else -1.0
+    print(json.dumps({
+        "metric": f"batched QPs solved/sec (nz={NZ}, nineq={NINEQ}, "
+                  f"batch={BATCH}, fwd, f32)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Solver configuration and statistics.
+
+The reference (qpth) exposes tunables as ``QPFunction`` kwargs
+(``/root/reference/qpth/qp.py:18-20``) plus an internal ``KKTSolvers`` enum
+(``/root/reference/qpth/solvers/pdipm/batch.py:41-44``).  Here they are a
+frozen, hashable dataclass so they can be passed as static arguments under
+``jax.jit`` / ``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple
+
+import jax
+
+
+class KKTSolver(enum.Enum):
+    """Which KKT linear-system strategy the IPM uses.
+
+    Mirrors the reference's ``KKTSolvers`` enum (batch.py:41-44), with the
+    LU-based paths replaced by Cholesky: every block the reference LU-factors
+    (``Q``, ``A Q^-1 A^T``, ``R + diag(1/d)``) is symmetric positive definite,
+    so on TPU we use pivot-free Cholesky by construction instead of the
+    reference's ``lu_hack`` pivot-free LU (batch.py:8-20).
+    """
+
+    #: Pre-factor once, re-factor only the iteration-varying Schur block
+    #: (analog of the reference's LU_PARTIAL production path).
+    CHOL_PARTIAL = "chol_partial"
+    #: Build and factor the full saddle system fresh every solve
+    #: (analog of LU_FULL; reference/baseline path used by tests).
+    FULL = "full"
+    #: Regularized saddle system + iterative refinement
+    #: (analog of IR_UNOPT; batch.py:244-310).
+    IR = "ir"
+
+
+class QPSolvers(enum.Enum):
+    """Forward-solver choice, mirroring qp.py:13-15.
+
+    The reference's CVXPY fallback (a per-instance CPU solve used as ground
+    truth, qp.py:97-120) is replaced by this package's independent float64
+    CPU oracle (numpy, with an optional native C++ implementation).
+    """
+
+    PDIPM_BATCHED = 1
+    #: Per-instance CPU oracle solve (float64). Slow; for debugging/ground truth.
+    CPU_ORACLE = 2
+    #: Alias kept for API familiarity with the reference.
+    CVXPY = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static solver configuration (hashable; safe as a jit static arg).
+
+    Defaults match the reference's ``QPFunction`` signature (qp.py:18-20).
+    """
+
+    #: Residual convergence target (qp.py:18 ``eps=1e-12``).
+    eps: float = 1e-12
+    #: Max IPM iterations (qp.py:19 ``maxIter=20``).
+    max_iter: int = 20
+    #: Stop after this many consecutive iterations with no per-lane
+    #: improvement (qp.py:18 ``notImprovedLim=3``).
+    not_improved_lim: int = 3
+    #: -1 silence warnings, 0 warnings only, 1 per-iteration prints
+    #: (batch.py:115-117, 141-142).
+    verbose: int = 0
+    #: KKT linear-algebra path.
+    kkt_solver: KKTSolver = KKTSolver.CHOL_PARTIAL
+    #: Forward solver: the batched TPU IPM or the per-instance CPU oracle
+    #: (qp.py:92-120's PDIPM_BATCHED / CVXPY dispatch).
+    solver: QPSolvers = QPSolvers.PDIPM_BATCHED
+    #: Raise if Q is not SPD (checked eagerly when inputs are concrete;
+    #: a no-op under tracing — the solver itself is NaN-robust). qp.py:81-85.
+    check_Q_spd: bool = True
+    #: Divergence guard: stop when min(mu) exceeds this (batch.py:140).
+    mu_divergence: float = 1e32
+    #: Backward-pass clamp on (lams, slacks) before forming d = lam/s,
+    #: reproducing the reference's documented numerical-safety hack
+    #: (qp.py:145-148).
+    grad_clamp: float = 1e-8
+    #: Cotangent reduction for parameters passed without a batch dimension:
+    #: "sum" is the mathematically correct vjp of broadcasting; "mean"
+    #: bug-compatibly reproduces the reference (qp.py:159-177 ``.mean(0)``).
+    broadcast_grad_reduction: str = "sum"
+    #: Regularization epsilon for the IR path (batch.py:248 ``eps=1e-7``).
+    ir_eps: float = 1e-7
+    #: Refinement steps for the IR path (batch.py:244 ``niter=1``).
+    ir_iters: int = 1
+    #: Cache the pre-factorization as custom_vjp residuals (the reference
+    #: stores Q_LU/S_LU/R on ctx, qp.py:93). If False, recompute in backward
+    #: (trades FLOPs for memory, like jax.checkpoint).
+    save_factors_for_backward: bool = True
+    #: Use Pallas TPU kernels for the hot factor/solve path when available.
+    use_pallas: bool = False
+    #: Optional shard_map axis name for global termination reductions
+    #: (None = rely on jit's automatic collectives for sharded inputs).
+    axis_name: str | None = None
+
+    def __post_init__(self):
+        if self.broadcast_grad_reduction not in ("sum", "mean"):
+            raise ValueError("broadcast_grad_reduction must be 'sum' or 'mean'")
+
+
+class SolveStats(NamedTuple):
+    """Structured, jit-friendly solve diagnostics.
+
+    Replaces the reference's prints (batch.py:115-117) with returned data.
+    """
+
+    #: Number of IPM iterations executed (scalar int32).
+    iterations: jax.Array
+    #: Best per-lane residual score achieved (batch,) — the quantity the
+    #: reference tracks in best['resids'] (batch.py:118-139).
+    best_resids: jax.Array
+    #: Final duality-measure mu per lane (batch,).
+    mu: jax.Array
+    #: Per-lane convergence flag: best_resids < eps.
+    converged: jax.Array
+
+
+class QPSolution(NamedTuple):
+    """Full primal-dual solution of a batch of QPs.
+
+    Fields mirror what the reference's forward returns / stores on ctx
+    (qp.py:94: zhats, nus, lams, slacks).
+    """
+
+    #: Primal solution (batch, nz).
+    z: jax.Array
+    #: Equality duals (batch, neq) — zero-width array when neq == 0.
+    nu: jax.Array
+    #: Inequality duals (batch, nineq).
+    lam: jax.Array
+    #: Slacks s = h - Gz (batch, nineq).
+    s: jax.Array
+    stats: SolveStats

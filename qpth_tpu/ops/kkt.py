@@ -1,0 +1,240 @@
+"""KKT linear-algebra layer: the heart of the solver.
+
+Per IPM iteration the Newton system in (dx, ds, dz, dy) is reduced, via slack
+elimination with D = diag(z/s), to a symmetrized Schur complement in the dual
+variables (comment block batch.py:388-394 in the reference):
+
+    S = [ A Q^-1 A^T     A Q^-1 G^T          ]
+        [ G Q^-1 A^T     G Q^-1 G^T + D^-1   ]
+
+The reference computes a *partial LU* of S once (pre_factor_kkt,
+batch.py:375-429) and completes it each iteration by LU-factoring
+``T = R + diag(1/d)`` (factor_kkt, batch.py:435-470), where
+
+    R = G Q^-1 G^T - (G Q^-1 A^T)(A Q^-1 A^T)^-1 (A Q^-1 G^T)
+
+TPU-native redesign: all three factored blocks (Q, A Q^-1 A^T, T) are SPD, so
+this file uses pivot-free batched Cholesky + a textbook symmetric 2x2 block
+solve — no pivots, no pivot surgery (batch.py:450-467), no ``lu_hack``.
+Factors are first-class pytrees (``KKTFactors``) shared by forward and
+backward, the JAX analog of the reference caching Q_LU/S_LU/R on ctx
+(qp.py:93, 148-155).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from .linalg import (
+    add_diag,
+    bmm,
+    bmv,
+    btmv,
+    cho_solve,
+    cho_solve_vec,
+    cholesky,
+    lu_solve_general,
+    tri_solve,
+)
+
+
+class KKTFactors(NamedTuple):
+    """Cached one-time factorization products (reference: Q_LU, S_LU, R on
+    ctx, qp.py:93). Batch dims are minimal (1 if the parameter is shared)."""
+
+    #: Lower Cholesky of Q, (bQ, nz, nz).
+    L_Q: jnp.ndarray
+    #: Schur complement core G Q^-1 G^T - S21 S11^-1 S12, (b, nineq, nineq).
+    R: jnp.ndarray
+    #: Lower Cholesky of S11 = A Q^-1 A^T, (b, neq, neq); None when neq == 0.
+    L_S11: Optional[jnp.ndarray]
+    #: S21 = G Q^-1 A^T, (b, nineq, neq); None when neq == 0.
+    S21: Optional[jnp.ndarray]
+    #: W = S11^-1 S12 = S11^-1 S21^T, (b, neq, nineq); None when neq == 0.
+    W: Optional[jnp.ndarray]
+
+
+def pre_factor_kkt(Q, G, A) -> KKTFactors:
+    """One-time factorizations, the Cholesky analog of batch.py:375-429.
+
+    Q: (bQ, nz, nz) SPD; G: (bG, nineq, nz); A: (bA, neq, nz) or None.
+    """
+    L_Q = cholesky(Q)
+    GT = jnp.swapaxes(G, -1, -2)
+    invQ_GT = cho_solve(L_Q, GT)                    # (b, nz, nineq)
+    G_invQ_GT = bmm(G, invQ_GT)                     # (b, nineq, nineq)
+
+    if A is None:
+        return KKTFactors(L_Q=L_Q, R=G_invQ_GT, L_S11=None, S21=None, W=None)
+
+    AT = jnp.swapaxes(A, -1, -2)
+    invQ_AT = cho_solve(L_Q, AT)                    # (b, nz, neq)
+    S11 = bmm(A, invQ_AT)                           # (b, neq, neq) SPD
+    L_S11 = cholesky(S11)
+    S21 = bmm(G, invQ_AT)                           # (b, nineq, neq)
+    W = cho_solve(L_S11, jnp.swapaxes(S21, -1, -2))  # (b, neq, nineq)
+    R = G_invQ_GT - bmm(S21, W)                     # (b, nineq, nineq)
+    return KKTFactors(L_Q=L_Q, R=R, L_S11=L_S11, S21=S21, W=W)
+
+
+def factor_kkt(factors: KKTFactors, d):
+    """Complete the per-iteration factorization: Cholesky of
+    ``T = R + diag(1/d)`` (analog of batch.py:435-470). d: (B, nineq) > 0.
+
+    Returns L_T, (max(bR, B), nineq, nineq). Non-SPD lanes yield NaN factors
+    which the IPM masks via best-iterate tracking.
+    """
+    return cholesky(add_diag(factors.R, 1.0 / d))
+
+
+def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry):
+    """Solve the reduced KKT system given cached factors + per-iteration L_T.
+
+    Semantics identical to the reference's solve_kkt (batch.py:349-372):
+
+        S [dy; dz] = -[ A Q^-1 rx - ry ;  G Q^-1 rx + rs/d - rz ]
+        dx = Q^-1 (-rx - G^T dz - A^T dy)
+        ds = (-rs - dz) / d
+
+    but the Schur solve is the symmetric block form:
+        u  = S11^-1 (-r1);  dz = T^-1 (-r2 - S21 u);  dy = u - W dz.
+
+    rx: (B, nz); rs, rz: (B, nineq); ry: (B, neq) or None.
+    Returns (dx, ds, dz, dy) with dy None when neq == 0.
+    """
+    invQ_rx = cho_solve_vec(factors.L_Q, rx)        # (B, nz)
+    r2 = bmv(G, invQ_rx) + rs / d - rz              # (B, nineq)
+
+    if A is None:
+        dz = cho_solve_vec(L_T, -r2)
+        dy = None
+        g1 = -rx - btmv(G, dz)
+    else:
+        r1 = bmv(A, invQ_rx) - ry                   # (B, neq)
+        u = cho_solve_vec(factors.L_S11, -r1)       # (B, neq)
+        dz = cho_solve_vec(L_T, -r2 - bmv(factors.S21, u))
+        dy = u - bmv(factors.W, dz)
+        g1 = -rx - btmv(G, dz) - btmv(A, dy)
+
+    dx = cho_solve_vec(factors.L_Q, g1)
+    ds = (-rs - dz) / d
+    return dx, ds, dz, dy
+
+
+def factor_solve_kkt(Q, D, G, A, rx, rs, rz, ry):
+    """Reference/baseline path: build the full saddle system fresh and do a
+    textbook Schur solve (analog of batch.py:313-346, KKTSolvers.LU_FULL).
+
+    D: (B, nineq, nineq) full matrix (as in the reference's tests) — the
+    diagonal case is D = bdiag(d).
+    """
+    return _factor_solve_saddle(Q, D, G, A, rx, rs, rz, ry, reg_eps=0.0)
+
+
+def _factor_solve_saddle(Q, D, G, A, rx, rs, rz, ry, reg_eps: float):
+    """Shared core of factor_solve_kkt (reg_eps=0) and the regularized path
+    factor_solve_kkt_reg (batch.py:273-310, S shifted by -eps*I; callers pass
+    Q_tilde/D_tilde with +eps already added to the H blocks)."""
+    nineq, nz = G.shape[-2], G.shape[-1]
+    neq = A.shape[-2] if A is not None else 0
+    B = max(x.shape[0] for x in (Q, D, G, rx, rs, rz) if x is not None)
+    dtype = Q.dtype
+
+    # H = blockdiag(Q, D); Abar = [[G, I], [A, 0]].
+    H = jnp.zeros((max(Q.shape[0], D.shape[0]), nz + nineq, nz + nineq), dtype)
+    H = H.at[:, :nz, :nz].add(Q)
+    H = H.at[:, nz:, nz:].add(D)
+
+    eye_m = jnp.eye(nineq, dtype=dtype)
+    bG = G.shape[0]
+    if neq > 0:
+        bA = max(bG, A.shape[0])
+        Abar = jnp.zeros((bA, nineq + neq, nz + nineq), dtype)
+        Abar = Abar.at[:, :nineq, :nz].add(G)
+        Abar = Abar.at[:, :nineq, nz:].add(eye_m)
+        Abar = Abar.at[:, nineq:, :nz].add(A)
+        hvec = jnp.concatenate(
+            [jnp.broadcast_to(rz, (B, nineq)), jnp.broadcast_to(ry, (B, neq))],
+            axis=1,
+        )
+    else:
+        Abar = jnp.zeros((bG, nineq, nz + nineq), dtype)
+        Abar = Abar.at[:, :, :nz].add(G)
+        Abar = Abar.at[:, :, nz:].add(eye_m)
+        hvec = rz
+
+    g = jnp.concatenate(
+        [jnp.broadcast_to(rx, (B, nz)), jnp.broadcast_to(rs, (B, nineq))],
+        axis=1,
+    )
+
+    AbarT = jnp.swapaxes(Abar, -1, -2)
+    invH_AT = lu_solve_general(H, AbarT)            # (b, nz+m, m+p)
+    invH_g = lu_solve_general(H, g)                 # (B, nz+m)
+    S = bmm(Abar, invH_AT)
+    if reg_eps:
+        S = add_diag(S, jnp.full(S.shape[:1] + S.shape[-1:], -reg_eps,
+                                 dtype=dtype))
+    t = bmv(Abar, invH_g) - hvec
+    w = lu_solve_general(S, -t)                     # (B, m+p) = [dz; dy]
+    v = lu_solve_general(H, -g - btmv(Abar, w))
+
+    dx, ds = v[:, :nz], v[:, nz:]
+    dz = w[:, :nineq]
+    dy = w[:, nineq:] if neq > 0 else None
+    return dx, ds, dz, dy
+
+
+def kkt_resid_reg(Q, D, G, A, eps, dx, ds, dz, dy, rx, rs, rz, ry):
+    """Residual of the eps-regularized KKT system (batch.py:228-241)."""
+    resx = bmv(Q, dx) + btmv(G, dz) + rx
+    if dy is not None:
+        resx = resx + btmv(A, dy)
+    ress = bmv(D, ds) + dz + rs
+    resz = bmv(G, dx) + ds - eps * dz + rz
+    resy = bmv(A, dx) - eps * dy + ry if dy is not None else None
+    return resx, ress, resz, resy
+
+
+def solve_kkt_ir(Q, D, G, A, rx, rs, rz, ry, eps: float = 1e-7,
+                 niter: int = 1):
+    """Regularized saddle solve + iterative refinement (batch.py:244-270,
+    KKTSolvers.IR_UNOPT; the fix referenced by qpth issue #6)."""
+    nz = Q.shape[-1]
+    nineq = G.shape[-2]
+    Q_t = add_diag(Q, jnp.full(Q.shape[:1] + (nz,), eps, Q.dtype))
+    D_t = add_diag(D, jnp.full(D.shape[:1] + (nineq,), eps, D.dtype))
+
+    dx, ds, dz, dy = _factor_solve_saddle(Q_t, D_t, G, A, rx, rs, rz, ry,
+                                          reg_eps=eps)
+    for _ in range(niter):
+        resx, ress, resz, resy = kkt_resid_reg(
+            Q, D, G, A, eps, dx, ds, dz, dy, rx, rs, rz, ry)
+        ddx, dds, ddz, ddy = _factor_solve_saddle(
+            Q_t, D_t, G, A, -resx, -ress, -resz,
+            -resy if resy is not None else None, reg_eps=eps)
+        dx, ds, dz = dx + ddx, ds + dds, dz + ddz
+        dy = dy + ddy if dy is not None else None
+    return dx, ds, dz, dy
+
+
+def kkt_residuals(Q, p, G, h, A, b, x, s, z, y):
+    """Raw KKT residuals of a candidate primal-dual point (batch.py:94-102):
+
+        rx = Q x + p + G^T z (+ A^T y)   (stationarity)
+        rz = G x + s - h                  (primal ineq)
+        ry = A x - b                      (primal eq; None when neq == 0)
+        mu = |<s, z>| / nineq             (complementarity measure)
+    """
+    nineq = G.shape[-2]
+    rx = bmv(Q, x) + p + btmv(G, z)
+    if A is not None:
+        rx = rx + btmv(A, y)
+        ry = bmv(A, x) - b
+    else:
+        ry = None
+    rz = bmv(G, x) + s - h
+    mu = jnp.abs((s * z).sum(axis=-1) / nineq)
+    return rx, rz, ry, mu

@@ -1,0 +1,263 @@
+"""Differentiable batched QP layer — the ``QPFunction`` analog.
+
+Solves, for every element of a batch simultaneously,
+
+    z* = argmin_z 1/2 z^T Q z + p^T z   s.t.  G z <= h,  A z = b
+
+(problem statement mirrors ``/root/reference/qpth/qp.py:32-42``) and exposes
+exact gradients to all six parameters via implicit differentiation of the KKT
+conditions at the solution — one extra solve against the cached KKT
+factorization, no unrolling (reference backward: qp.py:127-182).
+
+TPU-native shape/batching contract (matching qp.py:48-71):
+  Q: (B, nz, nz) or (nz, nz)        p: (B, nz) or (nz,)
+  G: (B, nineq, nz) or (nineq, nz)  h: (B, nineq) or (nineq,)
+  A: (B, neq, nz), (neq, nz), None, or a zero-sized array
+  b: (B, neq), (neq,), None, or a zero-sized array
+
+Unbatched parameters are *not* materialized at batch size (contrast
+util.py:44-50): matrices keep batch dim 1 so shared problems are factored
+once, and batched matvecs against shared matrices lower to MXU GEMMs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (KKTSolver, QPSolution, QPSolvers, SolverConfig,
+                     SolveStats)
+from .core import pdipm
+from .ops import kkt as kkt_ops
+from .ops.linalg import spd_check_eager
+from .utils import as_batched, bger, extract_nbatch, normalize_constraints
+
+DEFAULT_CONFIG = SolverConfig()
+
+
+# ---------------------------------------------------------------------------
+# Canonical batching
+# ---------------------------------------------------------------------------
+
+def _canonicalize(Q, p, G, h, A, b):
+    """Bring params to canonical batched form: matrices at minimal batch
+    (1 when shared), vectors broadcast to the full batch.
+
+    All ops used here ([None] indexing, broadcast_to) are differentiable, so
+    cotangents of the canonical arrays flow back to the user's original
+    shapes with the correct (sum) reduction semantics.
+    """
+    A, b = normalize_constraints(A, b)
+    B = extract_nbatch(Q, p, G, h, A, b)
+    Qb, _ = as_batched(Q, 3)
+    Gb, _ = as_batched(G, 3)
+    Ab, _ = as_batched(A, 3) if A is not None else (None, False)
+
+    pb, p_unb = as_batched(p, 2)
+    hb, h_unb = as_batched(h, 2)
+    pb = jnp.broadcast_to(pb, (B,) + pb.shape[1:])
+    hb = jnp.broadcast_to(hb, (B,) + hb.shape[1:])
+    if A is not None:
+        bb, b_unb = as_batched(b, 2)
+        bb = jnp.broadcast_to(bb, (B,) + bb.shape[1:])
+    else:
+        bb, b_unb = None, False
+    meta = (B, p_unb, h_unb, b_unb)
+    return Qb, pb, Gb, hb, Ab, bb, meta
+
+
+# ---------------------------------------------------------------------------
+# Forward paths
+# ---------------------------------------------------------------------------
+
+def _forward_batched(Qb, pb, Gb, hb, Ab, bb,
+                     config: SolverConfig) -> QPSolution:
+    """Forward solve on canonically-batched params."""
+    if config.check_Q_spd:
+        spd_check_eager(Qb)
+    if Gb.shape[-2] == 0:
+        raise NotImplementedError(
+            "nineq == 0: use an equality-constrained solve; the IPM requires "
+            "at least one inequality (same restriction as the reference, "
+            "qp.py:89).")
+    if config.solver == QPSolvers.PDIPM_BATCHED:
+        factors = kkt_ops.pre_factor_kkt(Qb, Gb, Ab)
+        return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config)
+    if config.solver == QPSolvers.CPU_ORACLE:
+        return _oracle_forward(Qb, pb, Gb, hb, Ab, bb)
+    raise ValueError(config.solver)
+
+
+def _oracle_forward(Qb, pb, Gb, hb, Ab, bb) -> QPSolution:
+    """Per-instance float64 CPU solve through a host callback — the analog
+    of the reference's CVXPY loop (qp.py:97-120). Uses the native C++
+    oracle when it builds, else the numpy one."""
+    from . import native
+    from .solvers.oracle import solve_qp_batch_np
+
+    B, n = pb.shape
+    m = hb.shape[1]
+    neq = Ab.shape[1] if Ab is not None else 0
+    dt = pb.dtype
+    solve = (native.solve_qp_batch_native if native.is_available()
+             else solve_qp_batch_np)
+
+    def cb(Q, p, G, h, A=None, b=None):
+        x, nu, lam, s = solve(Q, p, G, h, A, b)
+        return (x.astype(dt), nu.astype(dt), lam.astype(dt), s.astype(dt))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, n), dt),
+        jax.ShapeDtypeStruct((B, neq), dt),
+        jax.ShapeDtypeStruct((B, m), dt),
+        jax.ShapeDtypeStruct((B, m), dt),
+    )
+    args = (Qb, pb, Gb, hb) + ((Ab, bb) if Ab is not None else ())
+    x, nu, lam, s = jax.pure_callback(cb, out_shape, *args)
+    stats = SolveStats(
+        iterations=jnp.zeros((), jnp.int32),
+        best_resids=jnp.zeros((B,), dt),
+        mu=jnp.zeros((B,), dt),
+        converged=jnp.ones((B,), bool),
+    )
+    return QPSolution(z=x, nu=nu, lam=lam, s=s, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp: implicit differentiation of the KKT conditions
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _qp_core(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig, meta):
+    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config).z
+
+
+def _qp_fwd(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig, meta):
+    sol = _forward_batched(Qb, pb, Gb, hb, Ab, bb, config)
+    if config.save_factors_for_backward and \
+            config.solver == QPSolvers.PDIPM_BATCHED:
+        factors = kkt_ops.pre_factor_kkt(Qb, Gb, Ab)
+    else:
+        factors = None
+    res = (sol.z, sol.lam, sol.s, sol.nu, Qb, Gb, Ab, factors)
+    return sol.z, res
+
+
+def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
+    """One extra KKT solve on the cached factorization (qp.py:127-182)."""
+    zhat, lam, s, nu, Qb, Gb, Ab, factors = res
+    # meta's B is the *global* batch (used only for the bug-compat mean
+    # scaling); local shapes come from the cotangent — under shard_map the
+    # local batch is B / num_shards.
+    B_global, p_unb, h_unb, b_unb = meta
+    B = dl_dz.shape[0]
+    neq = Ab.shape[-2] if Ab is not None else 0
+    nineq = Gb.shape[-2]
+    dt = dl_dz.dtype
+
+    if factors is None:
+        factors = kkt_ops.pre_factor_kkt(Qb, Gb, Ab)
+
+    # Numerical-safety clamp reproducing qp.py:145-148.
+    c = config.grad_clamp
+    d = jnp.maximum(lam, c) / jnp.maximum(s, c)
+
+    L_T = kkt_ops.factor_kkt(factors, d)
+    zeros_m = jnp.zeros((B, nineq), dt)
+    ry = jnp.zeros((B, neq), dt) if neq > 0 else None
+    dx, _, dlam, dnu = kkt_ops.solve_kkt(
+        factors, L_T, d, Gb, Ab, dl_dz, zeros_m, zeros_m, ry)
+
+    # Gradient assembly (qp.py:157-177).
+    dQ = 0.5 * (bger(dx, zhat) + bger(zhat, dx))
+    dp = dx
+    dG = bger(dlam, zhat) + bger(lam, dx)
+    dh = -dlam
+    if neq > 0:
+        dA = bger(dnu, zhat) + bger(nu, dx)
+        db = -dnu
+    else:
+        dA = db = None
+
+    mean_mode = config.broadcast_grad_reduction == "mean"
+
+    def reduce_mat(g, canon_batch):
+        if g is None:
+            return None
+        if canon_batch == 1 and B > 1:
+            g = g.sum(axis=0, keepdims=True)
+            if mean_mode:
+                g = g / B_global
+        return g
+
+    def reduce_vec(g, was_unbatched):
+        # broadcast_to's own vjp performs the sum; only the bug-compat mean
+        # mode needs a correction here.
+        if g is not None and mean_mode and was_unbatched and B_global > 1:
+            return g / B_global
+        return g
+
+    dQ = reduce_mat(dQ, Qb.shape[0])
+    dG = reduce_mat(dG, Gb.shape[0])
+    dA = reduce_mat(dA, Ab.shape[0] if Ab is not None else 1)
+    dp = reduce_vec(dp, p_unb)
+    dh = reduce_vec(dh, h_unb)
+    db = reduce_vec(db, b_unb)
+
+    return (dQ, dp, dG, dh, dA, db)
+
+
+_qp_core.defvjp(_qp_fwd, _qp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def solve_qp(Q, p, G, h, A=None, b=None,
+             config: SolverConfig = DEFAULT_CONFIG):
+    """Differentiable batched QP solve; returns z* of shape (B, nz).
+
+    Gradients flow to all six parameters. Parameters passed without a batch
+    dimension receive summed (or, with
+    ``config.broadcast_grad_reduction='mean'``, qpth-compatible averaged)
+    cotangents.
+    """
+    Qb, pb, Gb, hb, Ab, bb, meta = _canonicalize(Q, p, G, h, A, b)
+    return _qp_core(Qb, pb, Gb, hb, Ab, bb, config, meta)
+
+
+def solve_qp_full(Q, p, G, h, A=None, b=None,
+                  config: SolverConfig = DEFAULT_CONFIG) -> QPSolution:
+    """Forward-only solve returning the full primal-dual solution and
+    ``SolveStats`` (the jit-friendly replacement for the reference's prints).
+    Not differentiable — use :func:`solve_qp` for gradients."""
+    Qb, pb, Gb, hb, Ab, bb, _ = _canonicalize(Q, p, G, h, A, b)
+    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config)
+
+
+def QPFunction(eps: float = 1e-12, verbose: int = 0,
+               notImprovedLim: int = 3, maxIter: int = 20,
+               solver: QPSolvers = QPSolvers.PDIPM_BATCHED,
+               check_Q_spd: bool = True, **kwargs):
+    """Drop-in analog of the reference factory (qp.py:18-20).
+
+    Returns a callable ``fn(Q, p, G, h, A=None, b=None) -> z`` that is fully
+    differentiable and composes with jit/vmap/grad. Empty constraints follow
+    the reference convention: pass None or a zero-sized array (qp.py:58-61).
+
+    Extra keyword arguments are forwarded to :class:`SolverConfig` (e.g.
+    ``kkt_solver=KKTSolver.IR``, ``broadcast_grad_reduction='mean'``).
+    """
+    config = SolverConfig(
+        eps=eps, verbose=verbose, not_improved_lim=notImprovedLim,
+        max_iter=maxIter, solver=solver, check_Q_spd=check_Q_spd, **kwargs)
+
+    def fn(Q, p, G, h, A=None, b=None):
+        return solve_qp(Q, p, G, h, A, b, config=config)
+
+    return fn

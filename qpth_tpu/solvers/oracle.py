@@ -1,0 +1,141 @@
+"""Independent float64 CPU oracle for ground truth and debugging.
+
+Plays the role of the reference's per-instance CVXPY fallback
+(``/root/reference/qpth/solvers/cvxpy.py:5-31`` and the CVXPY solver path at
+qp.py:97-120): an implementation on a *different* code path from the batched
+TPU solver, used by tests as the source of truth for solutions, duals, and
+finite-difference gradient probes.  (CVXPY itself is not a dependency here;
+when installed it can be cross-checked, but this oracle is self-contained.)
+
+Deliberately different implementation choices from the TPU solver so bugs
+don't correlate: numpy float64, the *unreduced* augmented KKT system solved
+with pivoted LAPACK (``numpy.linalg.solve``), infinity-norm termination, and
+a fraction-to-boundary rule instead of best-iterate tracking.
+
+A native C++ implementation of the same oracle lives in
+``qpth_tpu/native`` (see ``qpth_tpu.native.qp_oracle``); this module is the
+pure-numpy reference for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100):
+    """Solve  min 1/2 x^T Q x + p^T x  s.t. Gx <= h, Ax = b  in float64.
+
+    Returns (objective, x, nu, lam, slacks) mirroring the reference oracle's
+    return contract (cvxpy.py:31): nu is None when there are no equality
+    constraints.
+    """
+    Q = np.asarray(Q, dtype=np.float64)
+    p = np.asarray(p, dtype=np.float64)
+    G = np.asarray(G, dtype=np.float64)
+    h = np.asarray(h, dtype=np.float64)
+    has_eq = A is not None and np.size(A) > 0
+    if has_eq:
+        A = np.asarray(A, dtype=np.float64).reshape(-1, len(p))
+        b = np.asarray(b, dtype=np.float64).ravel()
+        neq = A.shape[0]
+    else:
+        A, b, neq = None, None, 0
+
+    n = p.shape[0]
+    m = G.shape[0]
+
+    # Robust strictly-interior start.
+    x = np.linalg.solve(Q + np.eye(n), -p)
+    s = np.maximum(h - G @ x, 1.0)
+    z = np.ones(m)
+    y = np.zeros(neq)
+
+    def residuals(x, s, z, y):
+        rd = Q @ x + p + G.T @ z + (A.T @ y if has_eq else 0.0)
+        rp = G @ x + s - h
+        re = A @ x - b if has_eq else np.zeros(0)
+        return rd, rp, re
+
+    def newton(rd, rp, re, rc, s, z):
+        """Solve the augmented system in (dx, dz, dy) after eliminating
+        ds = (-rc - s*dz) / z from the complementarity row."""
+        k = n + m + neq
+        M = np.zeros((k, k))
+        M[:n, :n] = Q
+        M[:n, n:n + m] = G.T
+        M[n:n + m, :n] = G
+        M[n:n + m, n:n + m] = -np.diag(s / z)
+        if has_eq:
+            M[:n, n + m:] = A.T
+            M[n + m:, :n] = A
+        rhs = np.concatenate([-rd, -rp + rc / z, -re])
+        sol = np.linalg.solve(M, rhs)
+        dx, dz, dy = sol[:n], sol[n:n + m], sol[n + m:]
+        ds = (-rc - s * dz) / z
+        return dx, ds, dz, dy
+
+    def max_step(v, dv):
+        neg = dv < 0
+        if not np.any(neg):
+            return 1.0
+        return min(1.0, np.min(-v[neg] / dv[neg]))
+
+    for _ in range(max_iter):
+        rd, rp, re = residuals(x, s, z, y)
+        mu = s @ z / m
+        if (max(np.abs(rd).max(), np.abs(rp).max(),
+                np.abs(re).max() if has_eq else 0.0) < tol and mu < tol):
+            break
+
+        # Predictor.
+        rc_aff = s * z
+        dx_a, ds_a, dz_a, dy_a = newton(rd, rp, re, rc_aff, s, z)
+        a_p = max_step(s, ds_a)
+        a_d = max_step(z, dz_a)
+        mu_aff = (s + a_p * ds_a) @ (z + a_d * dz_a) / m
+        sigma = (mu_aff / mu) ** 3
+
+        # Corrector (combined direction).
+        rc = s * z + ds_a * dz_a - sigma * mu
+        dx, ds, dz, dy = newton(rd, rp, re, rc, s, z)
+        eta = 0.99995
+        a_p = eta * max_step(s, ds)
+        a_d = eta * max_step(z, dz)
+        alpha = min(a_p, a_d)
+
+        x = x + alpha * dx
+        s = s + alpha * ds
+        z = z + alpha * dz
+        if has_eq:
+            y = y + alpha * dy
+
+    obj = 0.5 * x @ Q @ x + p @ x
+    return obj, x, (y if has_eq else None), z, s
+
+
+def solve_qp_batch_np(Q, p, G, h, A=None, b=None, **kw):
+    """Loop the oracle over a batch, broadcasting unbatched params —
+    the numpy analog of the reference's CVXPY batch loop (qp.py:104-115)."""
+    p = np.asarray(p)
+    B = p.shape[0] if p.ndim == 2 else 1
+    p2 = np.atleast_2d(p)
+
+    def get(M, i, nd):
+        if M is None or np.size(M) == 0:
+            return None
+        M = np.asarray(M)
+        if M.ndim == nd:
+            return M[i if M.shape[0] > 1 else 0]  # batch-1 = shared
+        return M
+
+    xs, nus, lams, ss = [], [], [], []
+    for i in range(B):
+        _, x, nu, lam, s = solve_qp_np(
+            get(Q, i, 3), p2[i], get(G, i, 3), get(h, i, 2),
+            get(A, i, 3), get(b, i, 2), **kw)
+        xs.append(x)
+        nus.append(nu)
+        lams.append(lam)
+        ss.append(s)
+    nu_arr = np.stack(nus) if nus[0] is not None else np.zeros((B, 0))
+    return np.stack(xs), nu_arr, np.stack(lams), np.stack(ss)

@@ -1,0 +1,131 @@
+"""Forward-solver correctness vs the independent float64 CPU oracle, plus
+property tests (KKT residuals of the returned solution) the reference lacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import qpth_tpu
+from qpth_tpu import KKTSolver, SolverConfig
+from qpth_tpu.solvers.oracle import solve_qp_batch_np
+
+from conftest import make_feasible_qp
+
+
+def _solve_and_compare(rng, atol, **kw):
+    config = kw.pop("config", SolverConfig())
+    Q, p, G, h, A, b = make_feasible_qp(rng, **kw)
+    args = [jnp.asarray(x) if x is not None else None
+            for x in (Q, p, G, h, A, b)]
+    z = qpth_tpu.solve_qp(*args, config=config)
+    x_ref, _, _, _ = solve_qp_batch_np(Q, p, G, h, A, b)
+    z = np.asarray(z)
+    if z.shape != x_ref.shape:  # unbatched input -> batch 1
+        x_ref = x_ref.reshape(z.shape)
+    npt.assert_allclose(z, x_ref, atol=atol, rtol=1e-6)
+    return z
+
+
+@pytest.mark.parametrize("neq", [0, 3])
+@pytest.mark.parametrize("nbatch", [None, 1, 8])
+def test_matches_oracle(rng, neq, nbatch):
+    _solve_and_compare(rng, 1e-7, nz=10, nineq=6, neq=neq, nbatch=nbatch)
+
+
+def test_matches_oracle_scaled(rng):
+    """Conditioning stress, analog of the reference's Qscale=100 variants
+    (test.py:102,156)."""
+    _solve_and_compare(rng, 1e-6, nz=10, nineq=4, neq=2,
+                       q_scale=100.0, g_scale=100.0, a_scale=100.0)
+
+
+def test_larger_problem(rng):
+    _solve_and_compare(rng, 1e-6, nz=50, nineq=50, neq=10, nbatch=16)
+
+
+@pytest.mark.parametrize("kkt_solver",
+                         [KKTSolver.FULL, KKTSolver.IR])
+def test_alternate_kkt_paths(rng, kkt_solver):
+    """The FULL and IR in-loop paths (batch.py:55-75,145-157) also solve."""
+    atol = 1e-5 if kkt_solver == KKTSolver.IR else 1e-7
+    _solve_and_compare(rng, atol, nz=8, nineq=5, neq=2, nbatch=4,
+                       config=SolverConfig(kkt_solver=kkt_solver))
+
+
+def test_kkt_conditions_of_solution(rng):
+    """Returned (z, nu, lam, s) satisfies the KKT system — the in-code
+    convergence contract (eps/maxIter defaults, qp.py:18-19)."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=12, nineq=8, neq=4, nbatch=8)
+    sol = qpth_tpu.solve_qp_full(*[jnp.asarray(v) for v in
+                                   (Q, p, G, h, A, b)])
+    z, nu, lam, s = map(np.asarray, (sol.z, sol.nu, sol.lam, sol.s))
+    stat = (z @ Q.T + p + np.einsum("bmn,bm->bn", G, lam)
+            + np.einsum("ben,be->bn", A, nu))
+    npt.assert_allclose(stat, 0, atol=1e-7)
+    npt.assert_allclose(np.einsum("bmn,bn->bm", G, z) + s - h, 0, atol=1e-7)
+    npt.assert_allclose(np.einsum("ben,bn->be", A, z) - b, 0, atol=1e-7)
+    assert (s > -1e-9).all() and (lam > -1e-9).all()
+    npt.assert_allclose(s * lam, 0, atol=1e-7)
+    assert np.asarray(sol.stats.converged).size == 8
+
+
+def test_stats_and_convergence(rng):
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=2, nbatch=4)
+    sol = qpth_tpu.solve_qp_full(*[jnp.asarray(v) for v in
+                                   (Q, p, G, h, A, b)])
+    assert int(sol.stats.iterations) <= 20
+    assert np.asarray(sol.stats.best_resids).max() < 1e-8
+
+
+def test_float32(rng):
+    """f32 (the TPU deployment dtype) converges to f32-appropriate accuracy."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=2, nbatch=4)
+    args32 = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h, A, b)]
+    z32 = qpth_tpu.solve_qp(*args32)
+    x_ref, _, _, _ = solve_qp_batch_np(Q, p, G, h, A, b)
+    assert z32.dtype == jnp.float32
+    npt.assert_allclose(np.asarray(z32), x_ref, atol=5e-3, rtol=1e-2)
+
+
+def test_jit_and_caching(rng):
+    """The solver is jittable; repeated calls reuse the compiled program."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=6, nineq=4, neq=2, nbatch=4)
+    f = jax.jit(lambda *a: qpth_tpu.solve_qp(*a))
+    args = [jnp.asarray(v) for v in (Q, p, G, h, A, b)]
+    z1 = f(*args)
+    z2 = f(*args)
+    npt.assert_allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_infeasible_lane_does_not_poison_batch(rng):
+    """One pathological lane must not halt or corrupt healthy lanes —
+    per-lane NaN masking replaces the reference's global bail-out
+    (batch.py:110-113)."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=6, nineq=4, neq=2, nbatch=4)
+    h = np.broadcast_to(h, (4, 4)).copy()
+    b2 = np.broadcast_to(b, (4, 2)).copy()
+    # Make lane 0 infeasible: contradictory equality rows.
+    A2 = np.broadcast_to(A, (4, 2, 6)).copy()
+    A2[0, 1] = A2[0, 0]
+    b2[0, 0], b2[0, 1] = 1.0, -1.0
+    sol = qpth_tpu.solve_qp_full(jnp.asarray(Q), jnp.asarray(p),
+                                 jnp.asarray(G), jnp.asarray(h),
+                                 jnp.asarray(A2), jnp.asarray(b2))
+    z = np.asarray(sol.z)
+    assert np.isfinite(z[1:]).all()
+    x_ref, _, _, _ = solve_qp_batch_np(Q, p[1:], G[1:], h[1:], A2[1:], b2[1:])
+    npt.assert_allclose(z[1:], x_ref, atol=1e-6)
+
+
+def test_oracle_solver_path(rng):
+    """QPSolvers.CPU_ORACLE (the CVXPY-fallback analog, qp.py:97-120)."""
+    from qpth_tpu import QPSolvers
+
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=6, nineq=4, neq=2, nbatch=3)
+    cfg = SolverConfig(solver=QPSolvers.CPU_ORACLE)
+    z = qpth_tpu.solve_qp(*[jnp.asarray(v) for v in (Q, p, G, h, A, b)],
+                          config=cfg)
+    zi = qpth_tpu.solve_qp(*[jnp.asarray(v) for v in (Q, p, G, h, A, b)])
+    npt.assert_allclose(np.asarray(z), np.asarray(zi), atol=1e-7)
