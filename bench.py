@@ -43,6 +43,12 @@ def make_problem(nbatch, nz, nineq, seed=0):
 
 def bench_ours():
     import jax
+
+    try:  # persistent compile cache: pallas kernel compiles are expensive
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     import qpth_tpu

@@ -95,11 +95,23 @@ class SolverConfig:
     #: stores Q_LU/S_LU/R on ctx, qp.py:93). If False, recompute in backward
     #: (trades FLOPs for memory, like jax.checkpoint).
     save_factors_for_backward: bool = True
-    #: Use Pallas TPU kernels for the hot factor/solve path when available.
-    use_pallas: bool = False
+    #: Use Pallas TPU kernels for the hot per-iteration factor/solve path:
+    #: "auto" (on TPU backends), True (always; interpret mode off-TPU,
+    #: for testing), or False (pure XLA).
+    use_pallas: bool | str = "auto"
+    #: How the fixed Q / S11 systems are applied per iteration:
+    #: "subst" = triangular substitution on Cholesky factors;
+    #: "inverse" = precompute explicit SPD inverses once (blocked triangular
+    #: inversion) so every application is one MXU matvec;
+    #: "auto" = "inverse" whenever the Pallas path is active.
+    solve_method: str = "auto"
     #: Optional shard_map axis name for global termination reductions
     #: (None = rely on jit's automatic collectives for sharded inputs).
     axis_name: str | None = None
+    #: Warm starts: lower clip applied to the provided (s, z) so the start
+    #: is strictly interior. The reference has no warm-start support; this
+    #: is the MPC-style receding-horizon extension (SURVEY §5.4).
+    warm_start_min: float = 1e-3
 
     def __post_init__(self):
         if self.broadcast_grad_reduction not in ("sum", "mean"):

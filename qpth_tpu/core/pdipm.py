@@ -78,12 +78,17 @@ class _IPMState(NamedTuple):
 
 
 def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
-          config: SolverConfig) -> QPSolution:
+          config: SolverConfig, init=None) -> QPSolution:
     """Run the batched IPM. Matrix params carry minimal batch dims
     (1 when shared); vector params p, h, b are (B, .) full-batch.
 
     A/b are None when neq == 0. ``factors`` comes from
     ``kkt_ops.pre_factor_kkt`` (ignored by the FULL/IR paths).
+
+    ``init``: optional warm start (x, s, z, y) — e.g. the previous
+    receding-horizon solution; s and z are clipped to
+    ``config.warm_start_min`` to restore strict interiority. y may be None
+    when neq == 0.
     """
     B, nz = p.shape
     nineq = G.shape[-2]
@@ -91,11 +96,19 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     dtype = p.dtype
     axis = config.axis_name
 
+    backend = kkt_ops.resolve_backend(config.use_pallas)
+    if (backend.transposed
+            and config.kkt_solver == KKTSolver.CHOL_PARTIAL):
+        solver_factors = kkt_ops.transpose_factors(factors)
+    else:
+        solver_factors = factors
+
     def kkt_solve(d, rx, rs, rz, ry):
         """Dispatch on the (static) KKT strategy — batch.py:55-75,145-157."""
         if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
-            L_T = kkt_ops.factor_kkt(factors, d)
-            return kkt_ops.solve_kkt(factors, L_T, d, G, A, rx, rs, rz, ry)
+            L_T = backend.factor(factors.R, d)
+            return kkt_ops.solve_kkt(solver_factors, L_T, d, G, A,
+                                     rx, rs, rz, ry, solve2=backend.solve2)
         D = bdiag(d)
         if config.kkt_solver == KKTSolver.FULL:
             return kkt_ops.factor_solve_kkt(Q, D, G, A, rx, rs, rz, ry)
@@ -109,17 +122,23 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     zeros_n = jnp.zeros((B, nz), dtype)
     zeros_p = jnp.zeros((B, neq), dtype) if neq > 0 else None
 
-    # ---- Initialization: solve with d = 1, RHS (p, 0, -h, -b) ----
-    ones_m = jnp.ones((B, nineq), dtype)
-    x, s, z, y = kkt_solve(ones_m, p, zeros_m, -h, -b if neq > 0 else None)
+    if init is None:
+        # ---- Initialization: solve with d = 1, RHS (p, 0, -h, -b) ----
+        ones_m = jnp.ones((B, nineq), dtype)
+        x, s, z, y = kkt_solve(ones_m, p, zeros_m, -h,
+                               -b if neq > 0 else None)
 
-    # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
-    def shift_pos(v):
-        m = v.min(axis=-1, keepdims=True)
-        return jnp.where(m < 0, v - m + 1.0, v)
+        # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
+        def shift_pos(v):
+            m = v.min(axis=-1, keepdims=True)
+            return jnp.where(m < 0, v - m + 1.0, v)
 
-    s = shift_pos(s)
-    z = shift_pos(z)
+        s = shift_pos(s)
+        z = shift_pos(z)
+    else:
+        x, s, z, y = init
+        s = jnp.maximum(s, config.warm_start_min)
+        z = jnp.maximum(z, config.warm_start_min)
     y = y if y is not None else jnp.zeros((B, 0), dtype)
 
     inf = jnp.asarray(jnp.inf, dtype)

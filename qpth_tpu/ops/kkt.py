@@ -42,41 +42,86 @@ from .linalg import (
 
 class KKTFactors(NamedTuple):
     """Cached one-time factorization products (reference: Q_LU, S_LU, R on
-    ctx, qp.py:93). Batch dims are minimal (1 if the parameter is shared)."""
+    ctx, qp.py:93). Batch dims are minimal (1 if the parameter is shared).
 
-    #: Lower Cholesky of Q, (bQ, nz, nz).
-    L_Q: jnp.ndarray
+    Two interchangeable representations of the Q / S11 solves:
+      * substitution: Cholesky factors L_Q / L_S11 (invQ/invS11 = None);
+      * inverse: explicit SPD inverses invQ / invS11 (L_* = None) — every
+        per-iteration application becomes a single batched matvec on the
+        MXU instead of a latency-bound substitution chain. Computed via
+        blocked triangular inversion (Pallas on TPU).
+    """
+
+    #: Lower Cholesky of Q, (bQ, nz, nz); None in inverse mode.
+    L_Q: Optional[jnp.ndarray]
     #: Schur complement core G Q^-1 G^T - S21 S11^-1 S12, (b, nineq, nineq).
     R: jnp.ndarray
-    #: Lower Cholesky of S11 = A Q^-1 A^T, (b, neq, neq); None when neq == 0.
+    #: Lower Cholesky of S11 = A Q^-1 A^T, (b, neq, neq); None when neq == 0
+    #: or in inverse mode.
     L_S11: Optional[jnp.ndarray]
     #: S21 = G Q^-1 A^T, (b, nineq, neq); None when neq == 0.
     S21: Optional[jnp.ndarray]
     #: W = S11^-1 S12 = S11^-1 S21^T, (b, neq, nineq); None when neq == 0.
     W: Optional[jnp.ndarray]
+    #: Q^-1, (bQ, nz, nz); None in substitution mode.
+    invQ: Optional[jnp.ndarray] = None
+    #: S11^-1, (b, neq, neq); None when neq == 0 or substitution mode.
+    invS11: Optional[jnp.ndarray] = None
 
 
-def pre_factor_kkt(Q, G, A) -> KKTFactors:
+def _spd_inv(M, use_pallas_kernels: bool):
+    """Batched SPD inverse: Pallas blocked chol+trinv+gram on TPU, or an
+    XLA Cholesky-solve against the identity elsewhere."""
+    if use_pallas_kernels:
+        from .pallas import spd_inverse
+
+        return spd_inverse(M)
+    n = M.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype),
+                           (M.shape[0], n, n))
+    return cho_solve(cholesky(M), eye)
+
+
+def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
+                   use_pallas_kernels: bool = False) -> KKTFactors:
     """One-time factorizations, the Cholesky analog of batch.py:375-429.
 
     Q: (bQ, nz, nz) SPD; G: (bG, nineq, nz); A: (bA, neq, nz) or None.
+
+    ``inverse=True`` builds explicit Q^-1 / S11^-1 (see KKTFactors); the
+    Schur products then use plain GEMMs instead of triangular solves.
     """
-    L_Q = cholesky(Q)
     GT = jnp.swapaxes(G, -1, -2)
-    invQ_GT = cho_solve(L_Q, GT)                    # (b, nz, nineq)
+    if inverse:
+        invQ = _spd_inv(Q, use_pallas_kernels)
+        invQ_GT = bmm(invQ, GT)
+        L_Q = None
+    else:
+        invQ = None
+        L_Q = cholesky(Q)
+        invQ_GT = cho_solve(L_Q, GT)                # (b, nz, nineq)
     G_invQ_GT = bmm(G, invQ_GT)                     # (b, nineq, nineq)
 
     if A is None:
-        return KKTFactors(L_Q=L_Q, R=G_invQ_GT, L_S11=None, S21=None, W=None)
+        return KKTFactors(L_Q=L_Q, R=G_invQ_GT, L_S11=None, S21=None,
+                          W=None, invQ=invQ)
 
     AT = jnp.swapaxes(A, -1, -2)
-    invQ_AT = cho_solve(L_Q, AT)                    # (b, nz, neq)
+    invQ_AT = bmm(invQ, AT) if inverse else cho_solve(L_Q, AT)
     S11 = bmm(A, invQ_AT)                           # (b, neq, neq) SPD
-    L_S11 = cholesky(S11)
     S21 = bmm(G, invQ_AT)                           # (b, nineq, neq)
-    W = cho_solve(L_S11, jnp.swapaxes(S21, -1, -2))  # (b, neq, nineq)
+    S21T = jnp.swapaxes(S21, -1, -2)
+    if inverse:
+        invS11 = _spd_inv(S11, use_pallas_kernels)
+        W = bmm(invS11, S21T)
+        L_S11 = None
+    else:
+        invS11 = None
+        L_S11 = cholesky(S11)
+        W = cho_solve(L_S11, S21T)                  # (b, neq, nineq)
     R = G_invQ_GT - bmm(S21, W)                     # (b, nineq, nineq)
-    return KKTFactors(L_Q=L_Q, R=R, L_S11=L_S11, S21=S21, W=W)
+    return KKTFactors(L_Q=L_Q, R=R, L_S11=L_S11, S21=S21, W=W,
+                      invQ=invQ, invS11=invS11)
 
 
 def factor_kkt(factors: KKTFactors, d):
@@ -89,7 +134,74 @@ def factor_kkt(factors: KKTFactors, d):
     return cholesky(add_diag(factors.R, 1.0 / d))
 
 
-def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry):
+class KKTBackend(NamedTuple):
+    """Injectable implementation of the per-iteration factor/solve pair.
+
+    ``transposed`` marks whether factors are stored as L^T (the Pallas
+    kernels' layout, where all hot slices are sublane-indexed).
+    """
+
+    transposed: bool
+    #: (R, d) -> per-iteration factor of R + diag(1/d) (L or Lt layout).
+    factor: object
+    #: (factor, v) -> solve (L L^T) x = v for vector rhs.
+    solve2: object
+
+
+def xla_backend() -> KKTBackend:
+    return KKTBackend(transposed=False,
+                      factor=lambda R, d: cholesky(add_diag(R, 1.0 / d)),
+                      solve2=cho_solve_vec)
+
+
+def pallas_backend(interpret: bool | None = None) -> KKTBackend:
+    from .pallas import cho_solve_vec_t_pallas, factor_kkt_t_pallas
+
+    return KKTBackend(
+        transposed=True,
+        factor=lambda R, d: factor_kkt_t_pallas(R, d, interpret=interpret),
+        solve2=lambda Lt, v: cho_solve_vec_t_pallas(Lt, v,
+                                                    interpret=interpret),
+    )
+
+
+def resolve_backend(use_pallas) -> KKTBackend:
+    """Map SolverConfig.use_pallas ("auto" | bool) to a backend."""
+    import jax
+
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return xla_backend()
+    interpret = jax.default_backend() != "tpu"
+    return pallas_backend(interpret=interpret)
+
+
+def resolve_prefactor_modes(config) -> dict:
+    """kwargs for pre_factor_kkt from (use_pallas, solve_method)."""
+    import jax
+
+    use_pallas = config.use_pallas
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    method = config.solve_method
+    inverse = use_pallas if method == "auto" else (method == "inverse")
+    return dict(inverse=inverse, use_pallas_kernels=bool(use_pallas))
+
+
+def transpose_factors(factors: KKTFactors) -> KKTFactors:
+    """Convert cached factors to the transposed (Lt) layout, once per solve.
+    No-op for inverse-mode factors (matvec application is layout-free)."""
+    return factors._replace(
+        L_Q=(jnp.swapaxes(factors.L_Q, -1, -2)
+             if factors.L_Q is not None else None),
+        L_S11=(jnp.swapaxes(factors.L_S11, -1, -2)
+               if factors.L_S11 is not None else None),
+    )
+
+
+def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry,
+              solve2=cho_solve_vec):
     """Solve the reduced KKT system given cached factors + per-iteration L_T.
 
     Semantics identical to the reference's solve_kkt (batch.py:349-372):
@@ -103,22 +215,34 @@ def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry):
 
     rx: (B, nz); rs, rz: (B, nineq); ry: (B, neq) or None.
     Returns (dx, ds, dz, dy) with dy None when neq == 0.
+
+    ``solve2`` is the two-triangular-solve primitive; when a transposed
+    (Pallas) backend is used, ``factors``/``L_T`` must already be in Lt
+    layout (see transpose_factors). Inverse-mode factors apply Q^-1 / S11^-1
+    as single matvecs instead.
     """
-    invQ_rx = cho_solve_vec(factors.L_Q, rx)        # (B, nz)
+    if factors.invQ is not None:
+        solveQ = lambda v: bmv(factors.invQ, v)     # noqa: E731
+        solveS11 = lambda v: bmv(factors.invS11, v)  # noqa: E731
+    else:
+        solveQ = lambda v: solve2(factors.L_Q, v)   # noqa: E731
+        solveS11 = lambda v: solve2(factors.L_S11, v)  # noqa: E731
+
+    invQ_rx = solveQ(rx)                            # (B, nz)
     r2 = bmv(G, invQ_rx) + rs / d - rz              # (B, nineq)
 
     if A is None:
-        dz = cho_solve_vec(L_T, -r2)
+        dz = solve2(L_T, -r2)
         dy = None
         g1 = -rx - btmv(G, dz)
     else:
         r1 = bmv(A, invQ_rx) - ry                   # (B, neq)
-        u = cho_solve_vec(factors.L_S11, -r1)       # (B, neq)
-        dz = cho_solve_vec(L_T, -r2 - bmv(factors.S21, u))
+        u = solveS11(-r1)                           # (B, neq)
+        dz = solve2(L_T, -r2 - bmv(factors.S21, u))
         dy = u - bmv(factors.W, dz)
         g1 = -rx - btmv(G, dz) - btmv(A, dy)
 
-    dx = cho_solve_vec(factors.L_Q, g1)
+    dx = solveQ(g1)
     ds = (-rs - dz) / d
     return dx, ds, dz, dy
 

@@ -74,8 +74,8 @@ def _canonicalize(Q, p, G, h, A, b):
 # Forward paths
 # ---------------------------------------------------------------------------
 
-def _forward_batched(Qb, pb, Gb, hb, Ab, bb,
-                     config: SolverConfig) -> QPSolution:
+def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
+                     init=None) -> QPSolution:
     """Forward solve on canonically-batched params."""
     if config.check_Q_spd:
         spd_check_eager(Qb)
@@ -85,8 +85,10 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb,
             "at least one inequality (same restriction as the reference, "
             "qp.py:89).")
     if config.solver == QPSolvers.PDIPM_BATCHED:
-        factors = kkt_ops.pre_factor_kkt(Qb, Gb, Ab)
-        return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config)
+        factors = kkt_ops.pre_factor_kkt(
+            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config))
+        return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
+                           init=init)
     if config.solver == QPSolvers.CPU_ORACLE:
         return _oracle_forward(Qb, pb, Gb, hb, Ab, bb)
     raise ValueError(config.solver)
@@ -131,25 +133,30 @@ def _oracle_forward(Qb, pb, Gb, hb, Ab, bb) -> QPSolution:
 # custom_vjp: implicit differentiation of the KKT conditions
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _qp_core(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig, meta):
-    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config).z
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _qp_core(Qb, pb, Gb, hb, Ab, bb, init, config: SolverConfig, meta):
+    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init).z
 
 
-def _qp_fwd(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig, meta):
-    sol = _forward_batched(Qb, pb, Gb, hb, Ab, bb, config)
+def _qp_fwd(Qb, pb, Gb, hb, Ab, bb, init, config: SolverConfig, meta):
+    sol = _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init)
     if config.save_factors_for_backward and \
             config.solver == QPSolvers.PDIPM_BATCHED:
-        factors = kkt_ops.pre_factor_kkt(Qb, Gb, Ab)
+        factors = kkt_ops.pre_factor_kkt(
+            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config))
     else:
         factors = None
-    res = (sol.z, sol.lam, sol.s, sol.nu, Qb, Gb, Ab, factors)
+    res = (sol.z, sol.lam, sol.s, sol.nu, Qb, Gb, Ab, factors, init)
     return sol.z, res
 
 
 def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
-    """One extra KKT solve on the cached factorization (qp.py:127-182)."""
-    zhat, lam, s, nu, Qb, Gb, Ab, factors = res
+    """One extra KKT solve on the cached factorization (qp.py:127-182).
+
+    The warm start carries no gradient: by the implicit-function theorem the
+    solution (hence its vjp) is independent of the IPM's starting point.
+    """
+    zhat, lam, s, nu, Qb, Gb, Ab, factors, init = res
     # meta's B is the *global* batch (used only for the bug-compat mean
     # scaling); local shapes come from the cotangent — under shard_map the
     # local batch is B / num_shards.
@@ -160,17 +167,22 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     dt = dl_dz.dtype
 
     if factors is None:
-        factors = kkt_ops.pre_factor_kkt(Qb, Gb, Ab)
+        factors = kkt_ops.pre_factor_kkt(
+            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config))
 
     # Numerical-safety clamp reproducing qp.py:145-148.
     c = config.grad_clamp
     d = jnp.maximum(lam, c) / jnp.maximum(s, c)
 
-    L_T = kkt_ops.factor_kkt(factors, d)
+    backend = kkt_ops.resolve_backend(config.use_pallas)
+    solver_factors = (kkt_ops.transpose_factors(factors)
+                      if backend.transposed else factors)
+    L_T = backend.factor(factors.R, d)
     zeros_m = jnp.zeros((B, nineq), dt)
     ry = jnp.zeros((B, neq), dt) if neq > 0 else None
     dx, _, dlam, dnu = kkt_ops.solve_kkt(
-        factors, L_T, d, Gb, Ab, dl_dz, zeros_m, zeros_m, ry)
+        solver_factors, L_T, d, Gb, Ab, dl_dz, zeros_m, zeros_m, ry,
+        solve2=backend.solve2)
 
     # Gradient assembly (qp.py:157-177).
     dQ = 0.5 * (bger(dx, zhat) + bger(zhat, dx))
@@ -208,7 +220,9 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     dh = reduce_vec(dh, h_unb)
     db = reduce_vec(db, b_unb)
 
-    return (dQ, dp, dG, dh, dA, db)
+    d_init = (None if init is None
+              else jax.tree_util.tree_map(jnp.zeros_like, init))
+    return (dQ, dp, dG, dh, dA, db, d_init)
 
 
 _qp_core.defvjp(_qp_fwd, _qp_bwd)
@@ -219,25 +233,31 @@ _qp_core.defvjp(_qp_fwd, _qp_bwd)
 # ---------------------------------------------------------------------------
 
 def solve_qp(Q, p, G, h, A=None, b=None,
-             config: SolverConfig = DEFAULT_CONFIG):
+             config: SolverConfig = DEFAULT_CONFIG, init=None):
     """Differentiable batched QP solve; returns z* of shape (B, nz).
 
     Gradients flow to all six parameters. Parameters passed without a batch
     dimension receive summed (or, with
     ``config.broadcast_grad_reduction='mean'``, qpth-compatible averaged)
     cotangents.
+
+    ``init``: optional warm start (x, s, z, y) with full-batch shapes
+    (y may be None); carries no gradient (implicit-function theorem).
     """
     Qb, pb, Gb, hb, Ab, bb, meta = _canonicalize(Q, p, G, h, A, b)
-    return _qp_core(Qb, pb, Gb, hb, Ab, bb, config, meta)
+    return _qp_core(Qb, pb, Gb, hb, Ab, bb, init, config, meta)
 
 
 def solve_qp_full(Q, p, G, h, A=None, b=None,
-                  config: SolverConfig = DEFAULT_CONFIG) -> QPSolution:
+                  config: SolverConfig = DEFAULT_CONFIG,
+                  init=None) -> QPSolution:
     """Forward-only solve returning the full primal-dual solution and
     ``SolveStats`` (the jit-friendly replacement for the reference's prints).
-    Not differentiable — use :func:`solve_qp` for gradients."""
+    Not differentiable — use :func:`solve_qp` for gradients. Supports the
+    same warm start as :func:`solve_qp` (pass the previous QPSolution's
+    (z, s, lam, nu) as (x, s, z, y) for receding-horizon workloads)."""
     Qb, pb, Gb, hb, Ab, bb, _ = _canonicalize(Q, p, G, h, A, b)
-    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config)
+    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init)
 
 
 def QPFunction(eps: float = 1e-12, verbose: int = 0,

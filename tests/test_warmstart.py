@@ -1,0 +1,53 @@
+"""Warm-start API: fewer iterations from a near-solution start, identical
+solutions, zero gradient contribution (implicit-function theorem)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+import qpth_tpu
+
+from conftest import make_feasible_qp
+
+
+def test_warm_start_converges_faster(rng):
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=2, nbatch=8)
+    args = [jnp.asarray(v) for v in (Q, p, G, h, A, b)]
+    cold = qpth_tpu.solve_qp_full(*args)
+
+    # Perturb p slightly (receding-horizon style) and warm start from the
+    # previous solution.
+    p2 = jnp.asarray(p) + 0.01 * rng.randn(*np.shape(p))
+    warm_init = (cold.z, cold.s, cold.lam, cold.nu)
+    warm = qpth_tpu.solve_qp_full(args[0], p2, args[2], args[3], args[4],
+                                  args[5], init=warm_init)
+    cold2 = qpth_tpu.solve_qp_full(args[0], p2, args[2], args[3], args[4],
+                                   args[5])
+    npt.assert_allclose(np.asarray(warm.z), np.asarray(cold2.z), atol=1e-6)
+    assert int(warm.stats.iterations) <= int(cold2.stats.iterations)
+
+
+def test_warm_start_same_solution_and_grads(rng):
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=5, neq=2, nbatch=4)
+    args = [jnp.asarray(v) for v in (Q, p, G, h, A, b)]
+    cold = qpth_tpu.solve_qp_full(*args)
+    init = (cold.z, cold.s, cold.lam, cold.nu)
+
+    def loss(p_, use_init):
+        z = qpth_tpu.solve_qp(args[0], p_, args[2], args[3], args[4],
+                              args[5], init=init if use_init else None)
+        return jnp.sum(z ** 2)
+
+    g_cold = jax.grad(lambda p_: loss(p_, False))(args[1])
+    g_warm = jax.grad(lambda p_: loss(p_, True))(args[1])
+    npt.assert_allclose(np.asarray(g_warm), np.asarray(g_cold),
+                        atol=1e-6, rtol=1e-6)
+
+    # init itself receives zero cotangent (and differentiating w.r.t. it
+    # does not error).
+    g_init = jax.grad(
+        lambda x0: jnp.sum(qpth_tpu.solve_qp(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            init=(x0, init[1], init[2], init[3])) ** 2))(init[0])
+    npt.assert_allclose(np.asarray(g_init), 0.0)
