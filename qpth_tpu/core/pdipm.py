@@ -97,18 +97,34 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     axis = config.axis_name
 
     backend = kkt_ops.resolve_backend(config.use_pallas)
-    if (backend.transposed
-            and config.kkt_solver == KKTSolver.CHOL_PARTIAL):
-        solver_factors = kkt_ops.transpose_factors(factors)
+    if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
+        solver_factors = backend.prepare(factors)
     else:
         solver_factors = factors
 
-    def kkt_solve(d, rx, rs, rz, ry):
-        """Dispatch on the (static) KKT strategy — batch.py:55-75,145-157."""
+    def kkt_factor(d):
+        """Per-iteration completion of the cached factorization — the analog
+        of batch.py:111's factor_kkt, done ONCE per d (the reference
+        re-factors inside each of the predictor and corrector solves;
+        both use the same d, so we hoist the factor — it is the single
+        hottest kernel)."""
         if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
-            L_T = backend.factor(factors.R, d)
-            return kkt_ops.solve_kkt(solver_factors, L_T, d, G, A,
+            return backend.factor(solver_factors.R, d)
+        return None
+
+    def kkt_solve(fac, d, rx, rs, rz, ry):
+        """Dispatch on the (static) KKT strategy — batch.py:55-75,145-157.
+
+        rx/rs/rz/ry may be None (structurally zero)."""
+        if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
+            return kkt_ops.solve_kkt(solver_factors, fac, d, G, A,
                                      rx, rs, rz, ry, solve2=backend.solve2)
+        # The FULL / IR reference paths take dense RHS blocks.
+        rx = rx if rx is not None else jnp.zeros((B, nz), dtype)
+        rs = rs if rs is not None else jnp.zeros((B, nineq), dtype)
+        rz = rz if rz is not None else jnp.zeros((B, nineq), dtype)
+        if neq > 0 and ry is None:
+            ry = jnp.zeros((B, neq), dtype)
         D = bdiag(d)
         if config.kkt_solver == KKTSolver.FULL:
             return kkt_ops.factor_solve_kkt(Q, D, G, A, rx, rs, rz, ry)
@@ -118,14 +134,10 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                                         niter=config.ir_iters)
         raise ValueError(config.kkt_solver)
 
-    zeros_m = jnp.zeros((B, nineq), dtype)
-    zeros_n = jnp.zeros((B, nz), dtype)
-    zeros_p = jnp.zeros((B, neq), dtype) if neq > 0 else None
-
     if init is None:
         # ---- Initialization: solve with d = 1, RHS (p, 0, -h, -b) ----
         ones_m = jnp.ones((B, nineq), dtype)
-        x, s, z, y = kkt_solve(ones_m, p, zeros_m, -h,
+        x, s, z, y = kkt_solve(kkt_factor(ones_m), ones_m, p, None, -h,
                                -b if neq > 0 else None)
 
         # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
@@ -205,9 +217,10 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         def do_step(args):
             x, s, z, y = args
             d = z / s
+            fac = kkt_factor(d)     # ONE factor shared by both solves
             # Predictor: affine direction with RHS (rx, z, rz, ry)
             # (batch.py:98 sets rs := z).
-            dx_a, ds_a, dz_a, dy_a = kkt_solve(d, rx, z, rz, ry)
+            dx_a, ds_a, dz_a, dy_a = kkt_solve(fac, d, rx, z, rz, ry)
 
             alpha = jnp.minimum(
                 jnp.minimum(_step_to_boundary(z, dz_a),
@@ -219,9 +232,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             t2 = (s * z).sum(axis=-1)
             sig = (t1 / t2) ** 3
 
+            # Corrector RHS is zero in every block but rs
+            # (batch.py:170-173) — structural zeros skip their matvecs.
             rs_c = ((-mu * sig)[:, None] + ds_a * dz_a) / s
             dx_c, ds_c, dz_c, dy_c = kkt_solve(
-                d, zeros_n, rs_c, zeros_m, zeros_p)
+                fac, d, None, rs_c, None, None)
 
             dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
             alpha = jnp.minimum(

@@ -70,13 +70,23 @@ class KKTFactors(NamedTuple):
 
 
 def _spd_inv(M, use_pallas_kernels: bool):
-    """Batched SPD inverse: Pallas blocked chol+trinv+gram on TPU, or an
-    XLA Cholesky-solve against the identity elsewhere."""
-    if use_pallas_kernels:
-        from .pallas import spd_inverse
+    """Batched SPD inverse. On TPU with a real batch: lanes-layout fused
+    Cholesky+triangular-inverse kernel, then the gram product on the MXU
+    (batch-major, XLA). Small/shared batches: XLA Cholesky-solve against
+    the identity."""
+    B, n = M.shape[0], M.shape[-1]
+    if use_pallas_kernels and B >= 8:
+        import jax
 
-        return spd_inverse(M)
-    n = M.shape[-1]
+        from .pallas import factor_inv_lanes, pad_spd_lanes
+
+        interpret = jax.default_backend() != "tpu"
+        M_t = pad_spd_lanes(jnp.transpose(M, (1, 2, 0)))
+        zero_d = jnp.zeros((n, B), M.dtype)
+        G = factor_inv_lanes(M_t, zero_d, interpret=interpret)
+        G_b = jnp.transpose(G, (2, 0, 1))[:, :n, :n]
+        return jnp.einsum("bki,bkj->bij", G_b, G_b,
+                          preferred_element_type=M.dtype)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype),
                            (M.shape[0], n, n))
     return cho_solve(cholesky(M), eye)
@@ -135,46 +145,75 @@ def factor_kkt(factors: KKTFactors, d):
 
 
 class KKTBackend(NamedTuple):
-    """Injectable implementation of the per-iteration factor/solve pair.
+    """Injectable implementation of the per-iteration factor/solve pair."""
 
-    ``transposed`` marks whether factors are stored as L^T (the Pallas
-    kernels' layout, where all hot slices are sublane-indexed).
-    """
-
-    transposed: bool
-    #: (R, d) -> per-iteration factor of R + diag(1/d) (L or Lt layout).
+    #: One-time layout preparation of the cached factors for this backend
+    #: (e.g. transpose R to the Pallas lanes layout). Called once per solve.
+    prepare: object
+    #: (R_prepared, d) -> per-iteration factor object of R + diag(1/d).
     factor: object
-    #: (factor, v) -> solve (L L^T) x = v for vector rhs.
+    #: (factor, v) -> solve (R + diag(1/d)) x = v for batch-major (B, m) v.
     solve2: object
 
 
 def xla_backend() -> KKTBackend:
-    return KKTBackend(transposed=False,
+    return KKTBackend(prepare=lambda f: f,
                       factor=lambda R, d: cholesky(add_diag(R, 1.0 / d)),
                       solve2=cho_solve_vec)
 
 
-def pallas_backend(interpret: bool | None = None) -> KKTBackend:
+def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
+    """Batch-major blocked kernels (transposed Lt layout). Superseded by the
+    lanes backend on TPU; kept for comparison and as a fallback."""
     from .pallas import cho_solve_vec_t_pallas, factor_kkt_t_pallas
 
     return KKTBackend(
-        transposed=True,
+        prepare=transpose_factors,
         factor=lambda R, d: factor_kkt_t_pallas(R, d, interpret=interpret),
         solve2=lambda Lt, v: cho_solve_vec_t_pallas(Lt, v,
                                                     interpret=interpret),
     )
 
 
+def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
+    """Batch-in-lanes kernels: fused Cholesky + triangular inverse per
+    iteration; every solve is two issue-bound matvec sweeps. The fastest
+    TPU path (see ops/pallas/lanes.py)."""
+    from .pallas import factor_inv_lanes, inv_solve_lanes, pad_spd_lanes
+
+    def prepare(factors: KKTFactors) -> KKTFactors:
+        R_t = pad_spd_lanes(jnp.transpose(factors.R, (1, 2, 0)))
+        return factors._replace(R=R_t)
+
+    def factor(R_t, d):
+        return factor_inv_lanes(R_t, jnp.swapaxes(1.0 / d, 0, 1),
+                                interpret=interpret)
+
+    def solve2(G, v):
+        x_t = inv_solve_lanes(G, jnp.swapaxes(v, 0, 1), interpret=interpret)
+        return jnp.swapaxes(x_t, 0, 1)
+
+    return KKTBackend(prepare=prepare, factor=factor, solve2=solve2)
+
+
 def resolve_backend(use_pallas) -> KKTBackend:
-    """Map SolverConfig.use_pallas ("auto" | bool) to a backend."""
+    """Map SolverConfig.use_pallas ("auto" | bool | "lanes" | "blocked" |
+    "xla") to a backend."""
     import jax
 
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu"
-    if not use_pallas:
+        use_pallas = "lanes" if on_tpu else False
+    elif use_pallas is True:
+        use_pallas = "lanes"
+    if not use_pallas or use_pallas == "xla":
         return xla_backend()
-    interpret = jax.default_backend() != "tpu"
-    return pallas_backend(interpret=interpret)
+    interpret = not on_tpu
+    if use_pallas == "blocked":
+        return pallas_blocked_backend(interpret=interpret)
+    if use_pallas == "lanes":
+        return pallas_lanes_backend(interpret=interpret)
+    raise ValueError(f"use_pallas: {use_pallas!r}")
 
 
 def resolve_prefactor_modes(config) -> dict:
@@ -185,7 +224,12 @@ def resolve_prefactor_modes(config) -> dict:
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     method = config.solve_method
-    inverse = use_pallas if method == "auto" else (method == "inverse")
+    inverse = bool(use_pallas) if method == "auto" else (method == "inverse")
+    if use_pallas in (True, "lanes") and not inverse:
+        raise ValueError(
+            "the lanes Pallas backend applies Q/S11 via explicit inverses; "
+            "solve_method='subst' requires use_pallas in (False, 'xla', "
+            "'blocked')")
     return dict(inverse=inverse, use_pallas_kernels=bool(use_pallas))
 
 
@@ -213,7 +257,12 @@ def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry,
     but the Schur solve is the symmetric block form:
         u  = S11^-1 (-r1);  dz = T^-1 (-r2 - S21 u);  dy = u - W dz.
 
-    rx: (B, nz); rs, rz: (B, nineq); ry: (B, neq) or None.
+    rx: (B, nz); rs, rz: (B, nineq); ry: (B, neq).  Any of rx/rs/rz/ry may
+    be ``None``, meaning *structurally zero* — the solve then skips the
+    corresponding matvecs entirely (the IPM's corrector RHS is zero in
+    every block but rs, batch.py:170-173, and the backward RHS is zero in
+    every block but rx, qp.py:151-155; the reference pays full-size
+    zero-matvecs for these, we don't).
     Returns (dx, ds, dz, dy) with dy None when neq == 0.
 
     ``solve2`` is the two-triangular-solve primitive; when a transposed
@@ -228,22 +277,39 @@ def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry,
         solveQ = lambda v: solve2(factors.L_Q, v)   # noqa: E731
         solveS11 = lambda v: solve2(factors.L_S11, v)  # noqa: E731
 
-    invQ_rx = solveQ(rx)                            # (B, nz)
-    r2 = bmv(G, invQ_rx) + rs / d - rz              # (B, nineq)
+    def acc(*terms):
+        terms = [t for t in terms if t is not None]
+        if not terms:
+            return None
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    invQ_rx = solveQ(rx) if rx is not None else None        # (B, nz)
+    r2 = acc(bmv(G, invQ_rx) if invQ_rx is not None else None,
+             rs / d if rs is not None else None,
+             -rz if rz is not None else None)                # (B, nineq)
 
     if A is None:
         dz = solve2(L_T, -r2)
         dy = None
-        g1 = -rx - btmv(G, dz)
+        g1 = acc(-rx if rx is not None else None, -btmv(G, dz))
     else:
-        r1 = bmv(A, invQ_rx) - ry                   # (B, neq)
-        u = solveS11(-r1)                           # (B, neq)
-        dz = solve2(L_T, -r2 - bmv(factors.S21, u))
-        dy = u - bmv(factors.W, dz)
-        g1 = -rx - btmv(G, dz) - btmv(A, dy)
+        r1 = acc(bmv(A, invQ_rx) if invQ_rx is not None else None,
+                 -ry if ry is not None else None)            # (B, neq)
+        if r1 is not None:
+            u = solveS11(-r1)                                # (B, neq)
+            dz = solve2(L_T, -r2 - bmv(factors.S21, u))
+            dy = u - bmv(factors.W, dz)
+        else:
+            dz = solve2(L_T, -r2)
+            dy = -bmv(factors.W, dz)
+        g1 = acc(-rx if rx is not None else None, -btmv(G, dz),
+                 -btmv(A, dy))
 
     dx = solveQ(g1)
-    ds = (-rs - dz) / d
+    ds = (-rs - dz) / d if rs is not None else -dz / d
     return dx, ds, dz, dy
 
 

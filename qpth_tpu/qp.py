@@ -175,13 +175,12 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     d = jnp.maximum(lam, c) / jnp.maximum(s, c)
 
     backend = kkt_ops.resolve_backend(config.use_pallas)
-    solver_factors = (kkt_ops.transpose_factors(factors)
-                      if backend.transposed else factors)
-    L_T = backend.factor(factors.R, d)
-    zeros_m = jnp.zeros((B, nineq), dt)
-    ry = jnp.zeros((B, neq), dt) if neq > 0 else None
+    solver_factors = backend.prepare(factors)
+    L_T = backend.factor(solver_factors.R, d)
+    # Backward RHS is (dl/dz, 0, 0, 0) — qp.py:151-155; the zero blocks are
+    # structural, so solve_kkt skips their matvecs entirely.
     dx, _, dlam, dnu = kkt_ops.solve_kkt(
-        solver_factors, L_T, d, Gb, Ab, dl_dz, zeros_m, zeros_m, ry,
+        solver_factors, L_T, d, Gb, Ab, dl_dz, None, None, None,
         solve2=backend.solve2)
 
     # Gradient assembly (qp.py:157-177).
