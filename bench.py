@@ -27,6 +27,7 @@ NINEQ = int(os.environ.get("BENCH_NINEQ", 100))
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 REF_BATCH = int(os.environ.get("BENCH_REF_BATCH", 64))
 TRIALS = int(os.environ.get("BENCH_TRIALS", 5))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 6))
 
 
 def make_problem(nbatch, nz, nineq, seed=0):
@@ -50,6 +51,7 @@ def bench_ours():
     except Exception:
         pass
     import jax.numpy as jnp
+    from jax import lax
 
     import qpth_tpu
 
@@ -58,21 +60,39 @@ def bench_ours():
     args = [jnp.asarray(v, dt) for v in (Q, p, G, h)]
     cfg = qpth_tpu.SolverConfig(check_Q_spd=False)
 
-    @jax.jit
-    def run(Q, p, G, h):
-        return qpth_tpu.solve_qp_full(Q, p, G, h, config=cfg)
+    # Steady-state throughput: REPEATS dependent solves inside one
+    # dispatch, so per-dispatch host/runtime latency (tens of ms through
+    # a remote-TPU tunnel) is amortized the way a serving loop would.
+    # Each rep perturbs Q by a solution-dependent scalar so the
+    # factorization pipeline cannot be hoisted out of the loop — every
+    # rep pays the full solve including pre_factor_kkt.
+    def chained(reps):
+        @jax.jit
+        def run(Q, p, G, h):
+            def body(i, carry):
+                QQ, pp, _ = carry
+                sol = qpth_tpu.solve_qp_full(QQ, pp, G, h, config=cfg)
+                scale = 1.0 + 1e-12 * jnp.tanh(jnp.mean(sol.z))
+                return QQ * scale, pp + 1e-6 * sol.z, sol.stats.best_resids
+            return lax.fori_loop(0, reps, body,
+                                 (Q, p, jnp.zeros((BATCH,), dt)))
+        return run
 
-    sol = run(*args)  # compile + warmup
-    jax.block_until_ready(sol)
-    conv = float(np.asarray(sol.stats.best_resids).max())
+    run1, runN = chained(1), chained(REPEATS)
+    _, _, resids = jax.block_until_ready(run1(*args))  # compile + warmup
+    jax.block_until_ready(runN(*args))
+    conv = float(np.asarray(resids).max())
 
-    times = []
+    t1s, tNs = [], []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(*args))
-        times.append(time.perf_counter() - t0)
-    dt_s = min(times)
-    return BATCH / dt_s, conv, dt_s
+        jax.block_until_ready(run1(*args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(runN(*args))
+        tNs.append(time.perf_counter() - t0)
+    per_solve = (min(tNs) - min(t1s)) / (REPEATS - 1)
+    return BATCH / per_solve, conv, per_solve
 
 
 def bench_reference():

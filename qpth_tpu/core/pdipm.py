@@ -102,15 +102,79 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     else:
         solver_factors = factors
 
-    def kkt_factor(d):
-        """Per-iteration completion of the cached factorization — the analog
-        of batch.py:111's factor_kkt, done ONCE per d (the reference
-        re-factors inside each of the predictor and corrector solves;
-        both use the same d, so we hoist the factor — it is the single
-        hottest kernel)."""
+    # Fast per-iteration algebra (inverse mode + partial-Cholesky path):
+    # fold the RHS/backsub matvecs against Q^-1 into the cached products
+    # Q^-1 G^T / G Q^-1 G^T / S11 and the IPM identities
+    #   rs = z  =>  rs / d = s            (predictor)
+    #   G Q^-1 rx - rz = G Q^-1 p + G Q^-1 G^T z (+ S21 y) + h
+    #   A Q^-1 rx - ry = A Q^-1 p + S21^T z (+ S11 y) + b
+    # so neither Q^-1 itself nor a second G read appears in the loop.
+    fast = (config.kkt_solver == KKTSolver.CHOL_PARTIAL
+            and solver_factors.invQ_GT is not None)
+    if fast:
+        fs = solver_factors
+        invQ_p = kkt_ops.bmv(fs.invQ, p)
+        G_invQ_p = kkt_ops.bmv(G, invQ_p)
+        A_invQ_p = kkt_ops.bmv(A, invQ_p) if neq > 0 else None
+
+    def fast_predictor(x, s, z, y, d):
+        """Factor + predictor solve via cached products; returns
+        (fac, dx, ds, dz, dy)."""
+        fs = solver_factors
+        r2 = h + G_invQ_p + kkt_ops.bmv(fs.GiGT, z)
+        if neq > 0:
+            r2 = r2 + kkt_ops.bmv(fs.S21, y)
+            r1 = (b + A_invQ_p + kkt_ops.btmv(fs.S21, z)
+                  + kkt_ops.bmv(fs.S11, y))
+            u = kkt_ops.bmv(fs.invS11, -r1)
+            rhs_T = -r2 - kkt_ops.bmv(fs.S21, u)
+        else:
+            u = None
+            rhs_T = -r2
+        fac, dz = backend.factor_solve(fs.R, d, rhs_T)
+        if neq > 0:
+            dy = u - kkt_ops.bmv(fs.W, dz)
+            dx = (-(x + invQ_p) - kkt_ops.bmv(fs.invQ_GT, z + dz)
+                  - kkt_ops.bmv(fs.invQ_AT, y + dy))
+        else:
+            dy = None
+            dx = -(x + invQ_p) - kkt_ops.bmv(fs.invQ_GT, z + dz)
+        ds = (-z - dz) / d
+        return fac, dx, ds, dz, dy
+
+    def fast_corrector(fac, rs_c, d):
+        """Corrector solve (RHS zero except rs) via cached products."""
+        fs = solver_factors
+        dz = backend.solve2(fac, -(rs_c / d))
+        if neq > 0:
+            dy = -kkt_ops.bmv(fs.W, dz)
+            dx = (-kkt_ops.bmv(fs.invQ_GT, dz)
+                  - kkt_ops.bmv(fs.invQ_AT, dy))
+        else:
+            dy = None
+            dx = -kkt_ops.bmv(fs.invQ_GT, dz)
+        ds = (-rs_c - dz) / d
+        return dx, ds, dz, dy
+
+    def kkt_factor_solve(d, rx, rs, rz, ry):
+        """Per-iteration factor completion + first solve, fused.
+
+        The analog of batch.py:111's factor_kkt followed by solve_kkt —
+        done ONCE per d (the reference re-factors inside each of the
+        predictor and corrector solves; both use the same d, so the factor
+        is hoisted and shared), with the first T-solve running inside the
+        factor kernel while the factor is still in VMEM
+        (backend.factor_solve). Returns (fac, dx, ds, dz, dy).
+        """
         if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
-            return backend.factor(solver_factors.R, d)
-        return None
+            rhs_T, u = kkt_ops.prepare_rhs_kkt(
+                solver_factors, d, G, A, rx, rs, rz, ry,
+                solve2=backend.solve2)
+            fac, dz = backend.factor_solve(solver_factors.R, d, rhs_T)
+            out = kkt_ops.backsub_kkt(solver_factors, dz, u, d, G, A,
+                                      rx, rs, solve2=backend.solve2)
+            return (fac,) + out
+        return (None,) + kkt_solve(None, d, rx, rs, rz, ry)
 
     def kkt_solve(fac, d, rx, rs, rz, ry):
         """Dispatch on the (static) KKT strategy — batch.py:55-75,145-157.
@@ -137,8 +201,8 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     if init is None:
         # ---- Initialization: solve with d = 1, RHS (p, 0, -h, -b) ----
         ones_m = jnp.ones((B, nineq), dtype)
-        x, s, z, y = kkt_solve(kkt_factor(ones_m), ones_m, p, None, -h,
-                               -b if neq > 0 else None)
+        _, x, s, z, y = kkt_factor_solve(ones_m, p, None, -h,
+                                         -b if neq > 0 else None)
 
         # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
         def shift_pos(v):
@@ -217,10 +281,14 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         def do_step(args):
             x, s, z, y = args
             d = z / s
-            fac = kkt_factor(d)     # ONE factor shared by both solves
             # Predictor: affine direction with RHS (rx, z, rz, ry)
-            # (batch.py:98 sets rs := z).
-            dx_a, ds_a, dz_a, dy_a = kkt_solve(fac, d, rx, z, rz, ry)
+            # (batch.py:98 sets rs := z); factor fused with this solve,
+            # then shared by the corrector.
+            if fast:
+                fac, dx_a, ds_a, dz_a, dy_a = fast_predictor(x, s, z, y, d)
+            else:
+                fac, dx_a, ds_a, dz_a, dy_a = kkt_factor_solve(
+                    d, rx, z, rz, ry)
 
             alpha = jnp.minimum(
                 jnp.minimum(_step_to_boundary(z, dz_a),
@@ -235,8 +303,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             # Corrector RHS is zero in every block but rs
             # (batch.py:170-173) — structural zeros skip their matvecs.
             rs_c = ((-mu * sig)[:, None] + ds_a * dz_a) / s
-            dx_c, ds_c, dz_c, dy_c = kkt_solve(
-                fac, d, None, rs_c, None, None)
+            if fast:
+                dx_c, ds_c, dz_c, dy_c = fast_corrector(fac, rs_c, d)
+            else:
+                dx_c, ds_c, dz_c, dy_c = kkt_solve(
+                    fac, d, None, rs_c, None, None)
 
             dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
             alpha = jnp.minimum(

@@ -67,6 +67,20 @@ class KKTFactors(NamedTuple):
     invQ: Optional[jnp.ndarray] = None
     #: S11^-1, (b, neq, neq); None when neq == 0 or substitution mode.
     invS11: Optional[jnp.ndarray] = None
+    # --- Cached products for the fast per-iteration algebra (inverse
+    # mode only). The IPM's RHS/backsub matvecs against Q^-1 and G can be
+    # folded into these precomputed products plus vector identities
+    # (e.g. rs/d = s for the predictor), cutting per-iteration HBM reads
+    # by ~a third. See pdipm.solve's fast path.
+    #: Q^-1 G^T, (b, nz, nineq); None unless inverse mode.
+    invQ_GT: Optional[jnp.ndarray] = None
+    #: Q^-1 A^T, (b, nz, neq); None unless inverse mode with neq > 0.
+    invQ_AT: Optional[jnp.ndarray] = None
+    #: G Q^-1 G^T (no Schur correction), (b, nineq, nineq); None unless
+    #: inverse mode. Equal to R when neq == 0.
+    GiGT: Optional[jnp.ndarray] = None
+    #: S11 = A Q^-1 A^T, (b, neq, neq); None unless inverse mode, neq > 0.
+    S11: Optional[jnp.ndarray] = None
 
 
 def _spd_inv(M, use_pallas_kernels: bool):
@@ -114,7 +128,9 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
 
     if A is None:
         return KKTFactors(L_Q=L_Q, R=G_invQ_GT, L_S11=None, S21=None,
-                          W=None, invQ=invQ)
+                          W=None, invQ=invQ,
+                          invQ_GT=invQ_GT if inverse else None,
+                          GiGT=G_invQ_GT if inverse else None)
 
     AT = jnp.swapaxes(A, -1, -2)
     invQ_AT = bmm(invQ, AT) if inverse else cho_solve(L_Q, AT)
@@ -131,7 +147,11 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
         W = cho_solve(L_S11, S21T)                  # (b, neq, nineq)
     R = G_invQ_GT - bmm(S21, W)                     # (b, nineq, nineq)
     return KKTFactors(L_Q=L_Q, R=R, L_S11=L_S11, S21=S21, W=W,
-                      invQ=invQ, invS11=invS11)
+                      invQ=invQ, invS11=invS11,
+                      invQ_GT=invQ_GT if inverse else None,
+                      invQ_AT=invQ_AT if inverse else None,
+                      GiGT=G_invQ_GT if inverse else None,
+                      S11=S11 if inverse else None)
 
 
 def factor_kkt(factors: KKTFactors, d):
@@ -154,12 +174,20 @@ class KKTBackend(NamedTuple):
     factor: object
     #: (factor, v) -> solve (R + diag(1/d)) x = v for batch-major (B, m) v.
     solve2: object
+    #: (R_prepared, d, v) -> (factor, x): fused per-iteration factor plus
+    #: first solve (the Pallas lanes kernel solves while the factor is
+    #: still in VMEM, saving one HBM round-trip of the factor).
+    factor_solve: object
 
 
 def xla_backend() -> KKTBackend:
-    return KKTBackend(prepare=lambda f: f,
-                      factor=lambda R, d: cholesky(add_diag(R, 1.0 / d)),
-                      solve2=cho_solve_vec)
+    def factor(R, d):
+        return cholesky(add_diag(R, 1.0 / d))
+
+    return KKTBackend(
+        prepare=lambda f: f, factor=factor, solve2=cho_solve_vec,
+        factor_solve=lambda R, d, v: (
+            lambda L: (L, cho_solve_vec(L, v)))(factor(R, d)))
 
 
 def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
@@ -167,19 +195,24 @@ def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
     lanes backend on TPU; kept for comparison and as a fallback."""
     from .pallas import cho_solve_vec_t_pallas, factor_kkt_t_pallas
 
+    def factor(R, d):
+        return factor_kkt_t_pallas(R, d, interpret=interpret)
+
+    def solve2(Lt, v):
+        return cho_solve_vec_t_pallas(Lt, v, interpret=interpret)
+
     return KKTBackend(
-        prepare=transpose_factors,
-        factor=lambda R, d: factor_kkt_t_pallas(R, d, interpret=interpret),
-        solve2=lambda Lt, v: cho_solve_vec_t_pallas(Lt, v,
-                                                    interpret=interpret),
-    )
+        prepare=transpose_factors, factor=factor, solve2=solve2,
+        factor_solve=lambda R, d, v: (
+            lambda Lt: (Lt, solve2(Lt, v)))(factor(R, d)))
 
 
 def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
     """Batch-in-lanes kernels: fused Cholesky + triangular inverse per
     iteration; every solve is two issue-bound matvec sweeps. The fastest
     TPU path (see ops/pallas/lanes.py)."""
-    from .pallas import factor_inv_lanes, inv_solve_lanes, pad_spd_lanes
+    from .pallas import (factor_inv_lanes, factor_inv_solve_lanes,
+                         inv_solve_lanes, pad_spd_lanes)
 
     def prepare(factors: KKTFactors) -> KKTFactors:
         R_t = pad_spd_lanes(jnp.transpose(factors.R, (1, 2, 0)))
@@ -193,7 +226,14 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
         x_t = inv_solve_lanes(G, jnp.swapaxes(v, 0, 1), interpret=interpret)
         return jnp.swapaxes(x_t, 0, 1)
 
-    return KKTBackend(prepare=prepare, factor=factor, solve2=solve2)
+    def factor_solve(R_t, d, v):
+        G, x_t = factor_inv_solve_lanes(
+            R_t, jnp.swapaxes(1.0 / d, 0, 1), jnp.swapaxes(v, 0, 1),
+            interpret=interpret)
+        return G, jnp.swapaxes(x_t, 0, 1)
+
+    return KKTBackend(prepare=prepare, factor=factor, solve2=solve2,
+                      factor_solve=factor_solve)
 
 
 def resolve_backend(use_pallas) -> KKTBackend:
@@ -270,44 +310,64 @@ def solve_kkt(factors: KKTFactors, L_T, d, G, A, rx, rs, rz, ry,
     layout (see transpose_factors). Inverse-mode factors apply Q^-1 / S11^-1
     as single matvecs instead.
     """
+    rhs_T, u = prepare_rhs_kkt(factors, d, G, A, rx, rs, rz, ry,
+                               solve2=solve2)
+    dz = solve2(L_T, rhs_T)
+    return backsub_kkt(factors, dz, u, d, G, A, rx, rs, solve2=solve2)
+
+
+def _acc(*terms):
+    terms = [t for t in terms if t is not None]
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _q_solvers(factors: KKTFactors, solve2):
     if factors.invQ is not None:
-        solveQ = lambda v: bmv(factors.invQ, v)     # noqa: E731
-        solveS11 = lambda v: bmv(factors.invS11, v)  # noqa: E731
-    else:
-        solveQ = lambda v: solve2(factors.L_Q, v)   # noqa: E731
-        solveS11 = lambda v: solve2(factors.L_S11, v)  # noqa: E731
+        return (lambda v: bmv(factors.invQ, v),
+                lambda v: bmv(factors.invS11, v))
+    return (lambda v: solve2(factors.L_Q, v),
+            lambda v: solve2(factors.L_S11, v))
 
-    def acc(*terms):
-        terms = [t for t in terms if t is not None]
-        if not terms:
-            return None
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
 
+def prepare_rhs_kkt(factors: KKTFactors, d, G, A, rx, rs, rz, ry,
+                    solve2=cho_solve_vec):
+    """Stage 1 of solve_kkt: everything up to (but excluding) the T-solve.
+    Returns (rhs_T, u) where dz = T^-1 rhs_T and u is the S11 intermediate
+    (None unless neq > 0 with a nonzero (rx, ry) block). Split out so the
+    per-iteration factor and the first solve can run fused in one kernel
+    (backend.factor_solve)."""
+    solveQ, solveS11 = _q_solvers(factors, solve2)
     invQ_rx = solveQ(rx) if rx is not None else None        # (B, nz)
-    r2 = acc(bmv(G, invQ_rx) if invQ_rx is not None else None,
-             rs / d if rs is not None else None,
-             -rz if rz is not None else None)                # (B, nineq)
-
-    if A is None:
-        dz = solve2(L_T, -r2)
-        dy = None
-        g1 = acc(-rx if rx is not None else None, -btmv(G, dz))
-    else:
-        r1 = acc(bmv(A, invQ_rx) if invQ_rx is not None else None,
-                 -ry if ry is not None else None)            # (B, neq)
+    r2 = _acc(bmv(G, invQ_rx) if invQ_rx is not None else None,
+              rs / d if rs is not None else None,
+              -rz if rz is not None else None)               # (B, nineq)
+    u = None
+    rhs_T = -r2
+    if A is not None:
+        r1 = _acc(bmv(A, invQ_rx) if invQ_rx is not None else None,
+                  -ry if ry is not None else None)           # (B, neq)
         if r1 is not None:
             u = solveS11(-r1)                                # (B, neq)
-            dz = solve2(L_T, -r2 - bmv(factors.S21, u))
-            dy = u - bmv(factors.W, dz)
-        else:
-            dz = solve2(L_T, -r2)
-            dy = -bmv(factors.W, dz)
-        g1 = acc(-rx if rx is not None else None, -btmv(G, dz),
-                 -btmv(A, dy))
+            rhs_T = -r2 - bmv(factors.S21, u)
+    return rhs_T, u
 
+
+def backsub_kkt(factors: KKTFactors, dz, u, d, G, A, rx, rs,
+                solve2=cho_solve_vec):
+    """Stage 2 of solve_kkt: back-substitute (dx, ds, dy) from dz."""
+    solveQ, _ = _q_solvers(factors, solve2)
+    if A is None:
+        dy = None
+        g1 = _acc(-rx if rx is not None else None, -btmv(G, dz))
+    else:
+        dy = (u if u is not None else 0.0) - bmv(factors.W, dz)
+        g1 = _acc(-rx if rx is not None else None, -btmv(G, dz),
+                  -btmv(A, dy))
     dx = solveQ(g1)
     ds = (-rs - dz) / d if rs is not None else -dz / d
     return dx, ds, dz, dy

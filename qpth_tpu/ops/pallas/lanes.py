@@ -257,77 +257,112 @@ def _eye_lanes(n_p, bt, dtype):
     return jnp.broadcast_to((i0 == i1).astype(dtype), (n_p, n_p, bt))
 
 
-def _chol_inv_inplace(t_ref, g_ref, dinv_ref, n, n_p, bt):
-    """Factor T = t_ref + diag(dinv) and simultaneously build G = inv(L)
-    into g_ref (row i of G in tile-slab i). t_ref is destroyed.
+def _chol_inv_inplace(u_ref, dinv_ref, n, n_p, bt):
+    """Factor T (left half of u_ref) and simultaneously build G = inv(L)
+    into the right half, in place.
 
+    u_ref: (n_p, 2*n_p, BT) holding [T | G]; G half pre-initialized to I.
     Inverse recurrence (forward substitution on L G = I, interleaved):
         G[j]   <- G[j] / L[j,j]         (row j final at step j)
         G[k>j] <- G[k] - L[k,j] G[j]
     with L[k, j] tile-indexed for free: it is the freshly-downdated column
-    j of the symmetric trailing block, scaled by rsqrt(pivot).
+    j of the symmetric trailing block, scaled by rsqrt(pivot). Keeping T
+    and G adjacent in the sublane dim means each step's two trailing
+    updates (T cols >= j+1, G cols <= j) are ONE contiguous fused
+    read-modify-write on the window [c0, n_p + cg) — halving the per-step
+    dependency chain, which is what bounds this latency-dominated loop.
     """
-    sub = lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
-    g_ref[...] = _eye_lanes(n_p, bt, dinv_ref.dtype)
-    for j in range(n):
-        row = t_ref[j, :, :]                          # (n_p, BT)
-        piv = row[j:j + 1, :] + dinv_ref[j:j + 1, :]  # (1, BT)
+    sub2 = lax.broadcasted_iota(jnp.int32, (2 * n_p, 1), 0)
+
+    def scaled_row(urow, j):
+        """Scale row j by rsqrt of its (shifted) pivot; T half zeroed below
+        the diagonal, G half untouched (its support mask is structural —
+        cols > j of G[j] are still exactly zero)."""
+        piv = urow[j:j + 1, :] + dinv_ref[j:j + 1, :]  # (1, BT)
         isq = lax.rsqrt(piv)
-        gj = g_ref[j, :, :] * isq
-        g_ref[j, :, :] = gj
-        if j + 1 < n:
-            lrow = jnp.where(sub >= j, jnp.where(sub == j, piv, row), 0.0) \
-                * isq
-            c0 = ((j + 1) // SUB) * SUB               # aligned col window
-            colj = t_ref[j + 1:n, j:j + 1, :] * isq[None]   # (n-j-1, 1, BT)
-            lrow_w = jnp.expand_dims(
-                lax.slice_in_dim(lrow, c0, n_p, axis=0), 0)
-            t_ref[j + 1:n, c0:, :] = (
-                t_ref[j + 1:n, c0:, :] - colj * lrow_w)
-            # G rows j+1.. have support only on columns <= j so far.
-            cg = pad_up(j + 1)
-            gj_w = jnp.expand_dims(lax.slice_in_dim(gj, 0, cg, axis=0), 0)
-            g_ref[j + 1:n, :cg, :] = g_ref[j + 1:n, :cg, :] - colj * gj_w
+        uj = jnp.where(sub2 == j, piv,
+                       jnp.where(sub2 < j, 0.0, urow)) * isq
+        return uj, isq
+
+    def window(uj, c0, w1):
+        """Aligned [c0, w1) slab of uj — T and G are adjacent in the
+        sublane dim, so both trailing updates are one contiguous window."""
+        return jnp.expand_dims(lax.slice_in_dim(uj, c0, w1, axis=0), 0)
+
+    # Two pivot columns per trip: the trailing window gets ONE fused
+    # rank-2 read-modify-write, halving its load/store traffic (the
+    # issue-bound cost of this loop).
+    j = 0
+    while j < n:
+        uj, isq = scaled_row(u_ref[j, :, :], j)
+        u_ref[j, :, :] = uj
+        if j + 1 == n:
+            break
+        colj = u_ref[j + 1:n, j:j + 1, :] * isq[None]   # (n-j-1, 1, BT)
+        # Row j+1: apply column j's rank-1, then take its pivot.
+        row1 = u_ref[j + 1, :, :] - colj[0] * uj
+        uj1, isq1 = scaled_row(row1, j + 1)
+        u_ref[j + 1, :, :] = uj1
+        if j + 2 < n:
+            # Column j+1 of the trailing rows, downdated by column j
+            # (L[k,j]·L[j+1,j]) then scaled: col_j already carries L[k,j]
+            # and colj[0] is L[j+1,j].
+            colj1 = (u_ref[j + 2:n, j + 1:j + 2, :]
+                     - colj[1:] * colj[0:1]) * isq1[None]
+            # T cols >= j+2 start at the aligned offset below; G cols
+            # <= j+1 end at the aligned offset above n_p + j+2.
+            c0 = ((j + 1) // SUB) * SUB
+            w1 = n_p + pad_up(j + 2)
+            u_ref[j + 2:n, c0:w1, :] = (
+                u_ref[j + 2:n, c0:w1, :]
+                - colj[1:] * window(uj, c0, w1)
+                - colj1 * window(uj1, c0, w1))
+        j += 2
 
 
-def _inv_apply(g_ref, rhs, n, n_p):
+def _inv_apply(g_read, rhs, n, n_p):
     """x = G^T (G rhs) = T^-1 rhs as a sum of rank-1 applications:
-    x = sum_i (G_i . r) G_i. Each term is an independent reduce + FMA, so
-    the whole solve is issue-bound, not latency-bound. rhs: (n, BT)."""
+    x = sum_i (G_i . r) G_i. Each term is an independent reduce + FMA;
+    two alternating accumulators break the FMA dependency chain.
+    rhs: (n, BT)."""
     if n_p != n:
         r = jnp.pad(rhs, ((0, n_p - n), (0, 0)))
     else:
         r = rhs
-    x = jnp.zeros_like(r)
+    acc = [jnp.zeros_like(r), jnp.zeros_like(r)]
     for i in range(n):
-        g_i = g_ref[i, :, :]                          # (n_p, BT)
+        g_i = g_read(i)                                # (n_p, BT)
         w_i = jnp.sum(g_i * r, axis=0, keepdims=True)  # (1, BT)
-        x = x + w_i * g_i
-    return x[:n]
+        acc[i % 2] = acc[i % 2] + w_i * g_i
+    return (acc[0] + acc[1])[:n]
 
 
-def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, t_vmem, g_vmem,
-                       sem_in, sem_out,
+def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
                        *, n, n_p, bt, shared_r, rhs_ref=None, x_ref=None):
     i = pl.program_id(0)
     if shared_r:
-        cp_in = pltpu.make_async_copy(r_hbm, t_vmem.at[:, :, 0:1], sem_in)
+        cp_in = pltpu.make_async_copy(r_hbm, u_vmem.at[:, 0:n_p, 0:1],
+                                      sem_in)
         cp_in.start()
         cp_in.wait()
-        t_vmem[...] = jnp.broadcast_to(t_vmem[:, :, 0:1], (n_p, n_p, bt))
+        u_vmem[:, 0:n_p, :] = jnp.broadcast_to(
+            u_vmem[:, 0:n_p, 0:1], (n_p, n_p, bt))
     else:
         cp_in = pltpu.make_async_copy(
-            r_hbm.at[:, :, pl.ds(i * bt, bt)], t_vmem, sem_in)
+            r_hbm.at[:, :, pl.ds(i * bt, bt)], u_vmem.at[:, 0:n_p, :],
+            sem_in)
         cp_in.start()
         cp_in.wait()
+    u_vmem[:, n_p:, :] = _eye_lanes(n_p, bt, dinv_ref.dtype)
 
-    _chol_inv_inplace(t_vmem, g_vmem, dinv_ref, n, n_p, bt)
+    _chol_inv_inplace(u_vmem, dinv_ref, n, n_p, bt)
 
     if rhs_ref is not None:
-        x_ref[...] = _inv_apply(g_vmem, rhs_ref[...], n, n_p)
+        x_ref[...] = _inv_apply(lambda k: u_vmem[k, n_p:, :],
+                                rhs_ref[...], n, n_p)
 
     cp_out = pltpu.make_async_copy(
-        g_vmem, g_hbm.at[:, :, pl.ds(i * bt, bt)], sem_out)
+        u_vmem.at[:, n_p:, :], g_hbm.at[:, :, pl.ds(i * bt, bt)], sem_out)
     cp_out.start()
     cp_out.wait()
 
@@ -344,9 +379,9 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
     kernel = functools.partial(_factor_inv_kernel, n=n, n_p=n_p, bt=bt,
                                shared_r=shared)
     if with_rhs:
-        def kernel(r_hbm, dinv_ref, rhs_ref, g_hbm, x_ref, t_vmem, g_vmem,
+        def kernel(r_hbm, dinv_ref, rhs_ref, g_hbm, x_ref, u_vmem,
                    sem_in, sem_out):
-            _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, t_vmem, g_vmem,
+            _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem,
                                sem_in, sem_out, n=n, n_p=n_p, bt=bt,
                                shared_r=shared, rhs_ref=rhs_ref, x_ref=x_ref)
 
@@ -371,8 +406,7 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_p, n_p, bt), dtype),
-            pltpu.VMEM((n_p, n_p, bt), dtype),
+            pltpu.VMEM((n_p, 2 * n_p, bt), dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -400,7 +434,7 @@ def factor_inv_solve_lanes(R_t, dinv_t, rhs_t, *,
 
 
 def _inv_solve_kernel(g_ref, rhs_ref, x_ref, *, n, n_p):
-    x_ref[...] = _inv_apply(g_ref, rhs_ref[...], n, n_p)
+    x_ref[...] = _inv_apply(lambda k: g_ref[k, :, :], rhs_ref[...], n, n_p)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -176,11 +176,15 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
 
     backend = kkt_ops.resolve_backend(config.use_pallas)
     solver_factors = backend.prepare(factors)
-    L_T = backend.factor(solver_factors.R, d)
     # Backward RHS is (dl/dz, 0, 0, 0) — qp.py:151-155; the zero blocks are
-    # structural, so solve_kkt skips their matvecs entirely.
-    dx, _, dlam, dnu = kkt_ops.solve_kkt(
-        solver_factors, L_T, d, Gb, Ab, dl_dz, None, None, None,
+    # structural, so their matvecs are skipped entirely, and the one KKT
+    # solve runs fused with the factor completion.
+    rhs_T, u = kkt_ops.prepare_rhs_kkt(
+        solver_factors, d, Gb, Ab, dl_dz, None, None, None,
+        solve2=backend.solve2)
+    _, dz_sol = backend.factor_solve(solver_factors.R, d, rhs_T)
+    dx, _, dlam, dnu = kkt_ops.backsub_kkt(
+        solver_factors, dz_sol, u, d, Gb, Ab, dl_dz, None,
         solve2=backend.solve2)
 
     # Gradient assembly (qp.py:157-177).
