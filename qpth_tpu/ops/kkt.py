@@ -213,24 +213,41 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
     TPU path (see ops/pallas/lanes.py)."""
     from .pallas import (factor_inv_lanes, factor_inv_solve_lanes,
                          inv_solve_lanes, pad_spd_lanes)
+    from .pallas.lanes import pad_batch_lanes
 
     def prepare(factors: KKTFactors) -> KKTFactors:
         R_t = pad_spd_lanes(jnp.transpose(factors.R, (1, 2, 0)))
+        bR = R_t.shape[-1]
+        Bp = pad_batch_lanes(bR)
+        if bR > 1 and Bp != bR:   # lane-dim DMA slices need 128 alignment
+            R_t = jnp.pad(R_t, ((0, 0), (0, 0), (0, Bp - bR)))
         return factors._replace(R=R_t)
 
+    def _pad_lanes(v_t, fill):
+        B = v_t.shape[-1]
+        Bp = pad_batch_lanes(B)
+        if Bp == B:
+            return v_t
+        return jnp.pad(v_t, ((0, 0), (0, Bp - B)), constant_values=fill)
+
     def factor(R_t, d):
-        return factor_inv_lanes(R_t, jnp.swapaxes(1.0 / d, 0, 1),
-                                interpret=interpret)
+        # Padded lanes get dinv = 1 (SPD identity block; never read back).
+        dinv_t = _pad_lanes(jnp.swapaxes(1.0 / d, 0, 1), 1.0)
+        return factor_inv_lanes(R_t, dinv_t, interpret=interpret)
 
     def solve2(G, v):
-        x_t = inv_solve_lanes(G, jnp.swapaxes(v, 0, 1), interpret=interpret)
-        return jnp.swapaxes(x_t, 0, 1)
+        B = v.shape[0]
+        x_t = inv_solve_lanes(G, _pad_lanes(jnp.swapaxes(v, 0, 1), 0.0),
+                              interpret=interpret)
+        return jnp.swapaxes(x_t[:, :B], 0, 1)
 
     def factor_solve(R_t, d, v):
+        B = v.shape[0]
+        dinv_t = _pad_lanes(jnp.swapaxes(1.0 / d, 0, 1), 1.0)
         G, x_t = factor_inv_solve_lanes(
-            R_t, jnp.swapaxes(1.0 / d, 0, 1), jnp.swapaxes(v, 0, 1),
+            R_t, dinv_t, _pad_lanes(jnp.swapaxes(v, 0, 1), 0.0),
             interpret=interpret)
-        return G, jnp.swapaxes(x_t, 0, 1)
+        return G, jnp.swapaxes(x_t[:, :B], 0, 1)
 
     return KKTBackend(prepare=prepare, factor=factor, solve2=solve2,
                       factor_solve=factor_solve)

@@ -48,9 +48,21 @@ def _default_interpret() -> bool:
 
 
 def pick_bt(B: int, cap: int = 128) -> int:
-    """Lane-tile size: largest power of two dividing B, capped at 128."""
-    bt = B & (-B)  # largest power-of-2 divisor
-    return min(bt, cap)
+    """Lane-tile size. Lane-dim DMA slices must be 128-aligned, so the
+    only legal tilings are the whole array (B <= 128, no slicing) or
+    128-wide slices (requires B % 128 == 0 — callers pad the batch)."""
+    if B <= cap:
+        return B
+    if B % cap:
+        raise ValueError(
+            f"batch {B} > {cap} must be a multiple of {cap} for the lanes "
+            f"kernels; pad the batch (see pad_batch_lanes)")
+    return cap
+
+
+def pad_batch_lanes(B: int) -> int:
+    """Batch size after lane padding: next multiple of 128 when B > 128."""
+    return B if B <= 128 else pad_up(B, 128)
 
 
 def pad_up(n: int, m: int = SUB) -> int:
@@ -129,16 +141,20 @@ def _solve_from_rows(lt_read, rhs, n):
 # ---------------------------------------------------------------------------
 
 def _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
-                   *, n, n_p, bt, shared_r, rhs_ref=None, x_ref=None):
+                   *, n, n_p, bt, shared_r, whole, rhs_ref=None,
+                   x_ref=None):
     i = pl.program_id(0)
+
+    def lane_slice(ref):
+        return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
+
     if shared_r:
         cp_in = pltpu.make_async_copy(r_hbm, t_vmem.at[:, :, 0:1], sem_in)
         cp_in.start()
         cp_in.wait()
         t_vmem[...] = jnp.broadcast_to(t_vmem[:, :, 0:1], (n_p, n_p, bt))
     else:
-        cp_in = pltpu.make_async_copy(
-            r_hbm.at[:, :, pl.ds(i * bt, bt)], t_vmem, sem_in)
+        cp_in = pltpu.make_async_copy(lane_slice(r_hbm), t_vmem, sem_in)
         cp_in.start()
         cp_in.wait()
 
@@ -148,8 +164,7 @@ def _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
         x_ref[...] = _solve_from_rows(
             lambda j: t_vmem[j, :, :][:n], rhs_ref[...], n)
 
-    cp_out = pltpu.make_async_copy(
-        t_vmem, lt_hbm.at[:, :, pl.ds(i * bt, bt)], sem_out)
+    cp_out = pltpu.make_async_copy(t_vmem, lane_slice(lt_hbm), sem_out)
     cp_out.start()
     cp_out.wait()
 
@@ -193,7 +208,7 @@ def factor_kkt_lanes(R_t, dinv_t, *, interpret: bool | None = None):
     bt = pick_bt(B)
     shared = R_t.shape[-1] == 1
     kernel = functools.partial(_factor_kernel, n=n, n_p=n_p, bt=bt,
-                               shared_r=shared)
+                               shared_r=shared, whole=bt == B)
     in_specs, out_specs, out_shape, scratch = _factor_specs(
         n, n_p, B, bt, dinv_t.dtype, with_rhs=False)
     return pl.pallas_call(
@@ -223,7 +238,7 @@ def factor_solve_kkt_lanes(R_t, dinv_t, rhs_t, *,
     def kernel(r_hbm, dinv_ref, rhs_ref, lt_hbm, x_ref, t_vmem,
                sem_in, sem_out):
         _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
-                       n=n, n_p=n_p, bt=bt, shared_r=shared,
+                       n=n, n_p=n_p, bt=bt, shared_r=shared, whole=bt == B,
                        rhs_ref=rhs_ref, x_ref=x_ref)
 
     in_specs, out_specs, out_shape, scratch = _factor_specs(
@@ -338,8 +353,15 @@ def _inv_apply(g_read, rhs, n, n_p):
 
 
 def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
-                       *, n, n_p, bt, shared_r, rhs_ref=None, x_ref=None):
+                       *, n, n_p, bt, shared_r, whole,
+                       rhs_ref=None, x_ref=None):
     i = pl.program_id(0)
+
+    def lane_slice(ref):
+        # Lane-dim DMA slices must be 128-aligned; with a single program
+        # (B == bt) the whole ref is used instead.
+        return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
+
     if shared_r:
         cp_in = pltpu.make_async_copy(r_hbm, u_vmem.at[:, 0:n_p, 0:1],
                                       sem_in)
@@ -349,8 +371,7 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
             u_vmem[:, 0:n_p, 0:1], (n_p, n_p, bt))
     else:
         cp_in = pltpu.make_async_copy(
-            r_hbm.at[:, :, pl.ds(i * bt, bt)], u_vmem.at[:, 0:n_p, :],
-            sem_in)
+            lane_slice(r_hbm), u_vmem.at[:, 0:n_p, :], sem_in)
         cp_in.start()
         cp_in.wait()
     u_vmem[:, n_p:, :] = _eye_lanes(n_p, bt, dinv_ref.dtype)
@@ -362,7 +383,7 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
                                 rhs_ref[...], n, n_p)
 
     cp_out = pltpu.make_async_copy(
-        u_vmem.at[:, n_p:, :], g_hbm.at[:, :, pl.ds(i * bt, bt)], sem_out)
+        u_vmem.at[:, n_p:, :], lane_slice(g_hbm), sem_out)
     cp_out.start()
     cp_out.wait()
 
@@ -376,14 +397,16 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
     with_rhs = rhs_t is not None
     dtype = dinv_t.dtype
 
+    whole = bt == B
     kernel = functools.partial(_factor_inv_kernel, n=n, n_p=n_p, bt=bt,
-                               shared_r=shared)
+                               shared_r=shared, whole=whole)
     if with_rhs:
         def kernel(r_hbm, dinv_ref, rhs_ref, g_hbm, x_ref, u_vmem,
                    sem_in, sem_out):
             _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem,
                                sem_in, sem_out, n=n, n_p=n_p, bt=bt,
-                               shared_r=shared, rhs_ref=rhs_ref, x_ref=x_ref)
+                               shared_r=shared, whole=whole,
+                               rhs_ref=rhs_ref, x_ref=x_ref)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
