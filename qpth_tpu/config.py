@@ -66,6 +66,13 @@ class SolverConfig:
     #: Stop after this many consecutive iterations with no per-lane
     #: improvement (qp.py:18 ``notImprovedLim=3``).
     not_improved_lim: int = 3
+    #: Relative margin for counting an iterate as "improved":
+    #: resid < best * (1 - improve_margin). The reference uses a strict
+    #: comparison (batch.py:124), i.e. margin 0 — but at float32 noise-level
+    #: improvements keep resetting the counter and every solve runs to
+    #: max_iter; a small margin (e.g. 1e-3) makes plateau detection (and
+    #: warm-start iteration savings) effective.
+    improve_margin: float = 0.0
     #: -1 silence warnings, 0 warnings only, 1 per-iteration prints
     #: (batch.py:115-117, 141-142).
     verbose: int = 0

@@ -96,7 +96,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     dtype = p.dtype
     axis = config.axis_name
 
-    backend = kkt_ops.resolve_backend(config.use_pallas)
+    backend = kkt_ops.resolve_backend(config.use_pallas, dtype)
     if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
         solver_factors = backend.prepare(factors)
     else:
@@ -258,10 +258,14 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                 "mu: {m:.5e}",
                 i=st.it, p=pri.mean(), d=dual.mean(), m=mu.mean())
 
-        # Best-iterate bookkeeping (batch.py:118-139).
-        improved = resids < st.best_resids
-        best_resids = jnp.where(improved, resids, st.best_resids)
-        imp_col = improved[:, None]
+        # Best-iterate bookkeeping (batch.py:118-139). The improvement
+        # test optionally requires a relative margin (see
+        # SolverConfig.improve_margin); best-iterate tracking itself stays
+        # strict so the returned solution is always the true best.
+        improved_strict = resids < st.best_resids
+        improved = resids < st.best_resids * (1.0 - config.improve_margin)
+        best_resids = jnp.where(improved_strict, resids, st.best_resids)
+        imp_col = improved_strict[:, None]
         best_x = jnp.where(imp_col, x, st.best_x)
         best_s = jnp.where(imp_col, s, st.best_s)
         best_z = jnp.where(imp_col, z, st.best_z)

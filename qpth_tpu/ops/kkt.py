@@ -253,11 +253,15 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                       factor_solve=factor_solve)
 
 
-def resolve_backend(use_pallas) -> KKTBackend:
+def resolve_backend(use_pallas, dtype=None) -> KKTBackend:
     """Map SolverConfig.use_pallas ("auto" | bool | "lanes" | "blocked" |
-    "xla") to a backend."""
+    "xla") to a backend. The Pallas kernels are float32-only; other dtypes
+    (float64 CPU test runs, bf16 experiments) fall back to XLA."""
     import jax
+    import numpy as np
 
+    if dtype is not None and np.dtype(dtype) != np.float32:
+        return xla_backend()
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas == "auto":
         use_pallas = "lanes" if on_tpu else False
@@ -273,11 +277,14 @@ def resolve_backend(use_pallas) -> KKTBackend:
     raise ValueError(f"use_pallas: {use_pallas!r}")
 
 
-def resolve_prefactor_modes(config) -> dict:
-    """kwargs for pre_factor_kkt from (use_pallas, solve_method)."""
+def resolve_prefactor_modes(config, dtype=None) -> dict:
+    """kwargs for pre_factor_kkt from (use_pallas, solve_method, dtype)."""
     import jax
+    import numpy as np
 
     use_pallas = config.use_pallas
+    if dtype is not None and np.dtype(dtype) != np.float32:
+        use_pallas = False  # Pallas kernels are float32-only
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     method = config.solve_method

@@ -86,7 +86,7 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
             "qp.py:89).")
     if config.solver == QPSolvers.PDIPM_BATCHED:
         factors = kkt_ops.pre_factor_kkt(
-            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config))
+            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
         return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
                            init=init)
     if config.solver == QPSolvers.CPU_ORACLE:
@@ -143,7 +143,7 @@ def _qp_fwd(Qb, pb, Gb, hb, Ab, bb, init, config: SolverConfig, meta):
     if config.save_factors_for_backward and \
             config.solver == QPSolvers.PDIPM_BATCHED:
         factors = kkt_ops.pre_factor_kkt(
-            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config))
+            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
     else:
         factors = None
     res = (sol.z, sol.lam, sol.s, sol.nu, Qb, Gb, Ab, factors, init)
@@ -168,13 +168,13 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
 
     if factors is None:
         factors = kkt_ops.pre_factor_kkt(
-            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config))
+            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
 
     # Numerical-safety clamp reproducing qp.py:145-148.
     c = config.grad_clamp
     d = jnp.maximum(lam, c) / jnp.maximum(s, c)
 
-    backend = kkt_ops.resolve_backend(config.use_pallas)
+    backend = kkt_ops.resolve_backend(config.use_pallas, dt)
     solver_factors = backend.prepare(factors)
     # Backward RHS is (dl/dz, 0, 0, 0) — qp.py:151-155; the zero blocks are
     # structural, so their matvecs are skipped entirely, and the one KKT
