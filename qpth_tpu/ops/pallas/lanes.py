@@ -142,17 +142,17 @@ def _solve_from_rows(lt_read, rhs, n):
 
 def _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
                    *, n, n_p, bt, shared_r, whole, rhs_ref=None,
-                   x_ref=None):
+                   x_ref=None, r1_vmem=None):
     i = pl.program_id(0)
 
     def lane_slice(ref):
         return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
 
     if shared_r:
-        cp_in = pltpu.make_async_copy(r_hbm, t_vmem.at[:, :, 0:1], sem_in)
+        cp_in = pltpu.make_async_copy(r_hbm, r1_vmem, sem_in)
         cp_in.start()
         cp_in.wait()
-        t_vmem[...] = jnp.broadcast_to(t_vmem[:, :, 0:1], (n_p, n_p, bt))
+        t_vmem[...] = jnp.broadcast_to(r1_vmem[...], (n_p, n_p, bt))
     else:
         cp_in = pltpu.make_async_copy(lane_slice(r_hbm), t_vmem, sem_in)
         cp_in.start()
@@ -169,7 +169,7 @@ def _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
     cp_out.wait()
 
 
-def _factor_specs(n, n_p, B, bt, dtype, with_rhs):
+def _factor_specs(n, n_p, B, bt, dtype, with_rhs, shared=False):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -189,6 +189,8 @@ def _factor_specs(n, n_p, B, bt, dtype, with_rhs):
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
+    if shared:
+        scratch.append(pltpu.VMEM((n_p, n_p, 1), dtype))
     return in_specs, out_specs, out_shape, scratch
 
 
@@ -207,10 +209,13 @@ def factor_kkt_lanes(R_t, dinv_t, *, interpret: bool | None = None):
     assert n_p == pad_up(n), (n, n_p)
     bt = pick_bt(B)
     shared = R_t.shape[-1] == 1
-    kernel = functools.partial(_factor_kernel, n=n, n_p=n_p, bt=bt,
-                               shared_r=shared, whole=bt == B)
+    def kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out, *scr):
+        _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
+                       n=n, n_p=n_p, bt=bt, shared_r=shared, whole=bt == B,
+                       r1_vmem=scr[0] if scr else None)
+
     in_specs, out_specs, out_shape, scratch = _factor_specs(
-        n, n_p, B, bt, dinv_t.dtype, with_rhs=False)
+        n, n_p, B, bt, dinv_t.dtype, with_rhs=False, shared=shared)
     return pl.pallas_call(
         kernel,
         grid=(B // bt,),
@@ -236,13 +241,14 @@ def factor_solve_kkt_lanes(R_t, dinv_t, rhs_t, *,
     shared = R_t.shape[-1] == 1
 
     def kernel(r_hbm, dinv_ref, rhs_ref, lt_hbm, x_ref, t_vmem,
-               sem_in, sem_out):
+               sem_in, sem_out, *scr):
         _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
                        n=n, n_p=n_p, bt=bt, shared_r=shared, whole=bt == B,
-                       rhs_ref=rhs_ref, x_ref=x_ref)
+                       rhs_ref=rhs_ref, x_ref=x_ref,
+                       r1_vmem=scr[0] if scr else None)
 
     in_specs, out_specs, out_shape, scratch = _factor_specs(
-        n, n_p, B, bt, dinv_t.dtype, with_rhs=True)
+        n, n_p, B, bt, dinv_t.dtype, with_rhs=True, shared=shared)
     return pl.pallas_call(
         kernel,
         grid=(B // bt,),
@@ -354,7 +360,7 @@ def _inv_apply(g_read, rhs, n, n_p):
 
 def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
                        *, n, n_p, bt, shared_r, whole,
-                       rhs_ref=None, x_ref=None):
+                       rhs_ref=None, x_ref=None, r1_vmem=None):
     i = pl.program_id(0)
 
     def lane_slice(ref):
@@ -363,12 +369,14 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
         return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
 
     if shared_r:
-        cp_in = pltpu.make_async_copy(r_hbm, u_vmem.at[:, 0:n_p, 0:1],
-                                      sem_in)
+        # A 1-lane slice of u_vmem is not a legal DMA target (lane
+        # alignment); land the shared R in its own (n_p, n_p, 1) scratch
+        # and lane-broadcast from there.
+        cp_in = pltpu.make_async_copy(r_hbm, r1_vmem, sem_in)
         cp_in.start()
         cp_in.wait()
         u_vmem[:, 0:n_p, :] = jnp.broadcast_to(
-            u_vmem[:, 0:n_p, 0:1], (n_p, n_p, bt))
+            r1_vmem[...], (n_p, n_p, bt))
     else:
         cp_in = pltpu.make_async_copy(
             lane_slice(r_hbm), u_vmem.at[:, 0:n_p, :], sem_in)
@@ -398,15 +406,21 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
     dtype = dinv_t.dtype
 
     whole = bt == B
-    kernel = functools.partial(_factor_inv_kernel, n=n, n_p=n_p, bt=bt,
-                               shared_r=shared, whole=whole)
+
     if with_rhs:
         def kernel(r_hbm, dinv_ref, rhs_ref, g_hbm, x_ref, u_vmem,
-                   sem_in, sem_out):
+                   sem_in, sem_out, *scr):
             _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem,
                                sem_in, sem_out, n=n, n_p=n_p, bt=bt,
                                shared_r=shared, whole=whole,
-                               rhs_ref=rhs_ref, x_ref=x_ref)
+                               rhs_ref=rhs_ref, x_ref=x_ref,
+                               r1_vmem=scr[0] if scr else None)
+    else:
+        def kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out, *scr):
+            _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem,
+                               sem_in, sem_out, n=n, n_p=n_p, bt=bt,
+                               shared_r=shared, whole=whole,
+                               r1_vmem=scr[0] if scr else None)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -422,17 +436,20 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape, jax.ShapeDtypeStruct((n, B), dtype)]
     args = (R_t, dinv_t) + ((rhs_t,) if with_rhs else ())
+    scratch = [
+        pltpu.VMEM((n_p, 2 * n_p, bt), dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if shared:
+        scratch.append(pltpu.VMEM((n_p, n_p, 1), dtype))
     return pl.pallas_call(
         kernel,
         grid=(B // bt,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((n_p, 2 * n_p, bt), dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
