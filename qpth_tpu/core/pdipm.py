@@ -119,19 +119,21 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
     def fast_predictor(x, s, z, y, d):
         """Factor + predictor solve via cached products; returns
-        (fac, dx, ds, dz, dy)."""
+        (fac, dx, ds, dz, dy). The R @ z part of the RHS is folded into
+        the factor kernel (backend.factor_solve_rz): note
+        GiGT z = R z + S21 (W z), so only the small S21/W products stay
+        outside."""
         fs = solver_factors
-        r2 = h + G_invQ_p + kkt_ops.bmv(fs.GiGT, z)
+        q = -(h + G_invQ_p)
         if neq > 0:
-            r2 = r2 + kkt_ops.bmv(fs.S21, y)
             r1 = (b + A_invQ_p + kkt_ops.btmv(fs.S21, z)
                   + kkt_ops.bmv(fs.S11, y))
             u = kkt_ops.bmv(fs.invS11, -r1)
-            rhs_T = -r2 - kkt_ops.bmv(fs.S21, u)
+            wz = kkt_ops.bmv(fs.W, z)
+            q = q - kkt_ops.bmv(fs.S21, wz + y + u)
         else:
             u = None
-            rhs_T = -r2
-        fac, dz = backend.factor_solve(fs.R, d, rhs_T)
+        fac, dz = backend.factor_solve_rz(fs.R, d, q, z)
         if neq > 0:
             dy = u - kkt_ops.bmv(fs.W, dz)
             dx = (-(x + invQ_p) - kkt_ops.bmv(fs.invQ_GT, z + dz)

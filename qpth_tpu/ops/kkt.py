@@ -178,16 +178,24 @@ class KKTBackend(NamedTuple):
     #: first solve (the Pallas lanes kernel solves while the factor is
     #: still in VMEM, saving one HBM round-trip of the factor).
     factor_solve: object
+    #: (R_prepared, d, q, z) -> (factor, x) solving
+    #: (R + diag(1/d)) x = q - R z — the R @ z matvec folded into the
+    #: factor kernel where R is already resident (one fewer HBM pass).
+    factor_solve_rz: object
 
 
 def xla_backend() -> KKTBackend:
     def factor(R, d):
         return cholesky(add_diag(R, 1.0 / d))
 
+    def factor_solve(R, d, v):
+        L = factor(R, d)
+        return L, cho_solve_vec(L, v)
+
     return KKTBackend(
         prepare=lambda f: f, factor=factor, solve2=cho_solve_vec,
-        factor_solve=lambda R, d, v: (
-            lambda L: (L, cho_solve_vec(L, v)))(factor(R, d)))
+        factor_solve=factor_solve,
+        factor_solve_rz=lambda R, d, q, z: factor_solve(R, d, q - bmv(R, z)))
 
 
 def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
@@ -201,10 +209,14 @@ def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
     def solve2(Lt, v):
         return cho_solve_vec_t_pallas(Lt, v, interpret=interpret)
 
+    def factor_solve(R, d, v):
+        Lt = factor(R, d)
+        return Lt, solve2(Lt, v)
+
     return KKTBackend(
         prepare=transpose_factors, factor=factor, solve2=solve2,
-        factor_solve=lambda R, d, v: (
-            lambda Lt: (Lt, solve2(Lt, v)))(factor(R, d)))
+        factor_solve=factor_solve,
+        factor_solve_rz=lambda R, d, q, z: factor_solve(R, d, q - bmv(R, z)))
 
 
 def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
@@ -213,7 +225,7 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
     TPU path (see ops/pallas/lanes.py)."""
     from .pallas import (factor_inv_lanes, factor_inv_solve_lanes,
                          inv_solve_lanes, pad_spd_lanes)
-    from .pallas.lanes import pad_batch_lanes
+    from .pallas.lanes import factor_inv_solve_rz_lanes, pad_batch_lanes
 
     def prepare(factors: KKTFactors) -> KKTFactors:
         R_t = pad_spd_lanes(jnp.transpose(factors.R, (1, 2, 0)))
@@ -249,8 +261,18 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
             interpret=interpret)
         return G, jnp.swapaxes(x_t[:, :B], 0, 1)
 
+    def factor_solve_rz(R_t, d, q, z):
+        B = q.shape[0]
+        dinv_t = _pad_lanes(jnp.swapaxes(1.0 / d, 0, 1), 1.0)
+        G, x_t = factor_inv_solve_rz_lanes(
+            R_t, dinv_t, _pad_lanes(jnp.swapaxes(q, 0, 1), 0.0),
+            _pad_lanes(jnp.swapaxes(z, 0, 1), 0.0),
+            interpret=interpret)
+        return G, jnp.swapaxes(x_t[:, :B], 0, 1)
+
     return KKTBackend(prepare=prepare, factor=factor, solve2=solve2,
-                      factor_solve=factor_solve)
+                      factor_solve=factor_solve,
+                      factor_solve_rz=factor_solve_rz)
 
 
 def resolve_backend(use_pallas, dtype=None) -> KKTBackend:

@@ -278,6 +278,16 @@ def _eye_lanes(n_p, bt, dtype):
     return jnp.broadcast_to((i0 == i1).astype(dtype), (n_p, n_p, bt))
 
 
+def _write_eye(u_ref, col0, n_p, bt, dtype, chunk=SUB):
+    """Initialize u_ref[:, col0:col0+n_p, :] = I without materializing the
+    full (n_p, n_p, BT) broadcast (VMEM peak control)."""
+    i1 = lax.broadcasted_iota(jnp.int32, (chunk, n_p, 1), 1)
+    for k0 in range(0, n_p, chunk):
+        i0 = lax.broadcasted_iota(jnp.int32, (chunk, n_p, 1), 0) + k0
+        blk = jnp.broadcast_to((i0 == i1).astype(dtype), (chunk, n_p, bt))
+        u_ref[k0:k0 + chunk, col0:col0 + n_p, :] = blk
+
+
 def _chol_inv_inplace(u_ref, dinv_ref, n, n_p, bt):
     """Factor T (left half of u_ref) and simultaneously build G = inv(L)
     into the right half, in place.
@@ -334,10 +344,17 @@ def _chol_inv_inplace(u_ref, dinv_ref, n, n_p, bt):
             # <= j+1 end at the aligned offset above n_p + j+2.
             c0 = ((j + 1) // SUB) * SUB
             w1 = n_p + pad_up(j + 2)
-            u_ref[j + 2:n, c0:w1, :] = (
-                u_ref[j + 2:n, c0:w1, :]
-                - colj[1:] * window(uj, c0, w1)
-                - colj1 * window(uj1, c0, w1))
+            ujw, uj1w = window(uj, c0, w1), window(uj1, c0, w1)
+            # Row-chunked RMW: caps the live temporary at (RC, ~n_p, BT)
+            # so the kernel stays inside the VMEM scoped-allocation limit.
+            RC = 4
+            for r0 in range(j + 2, n, RC):
+                r1_ = min(r0 + RC, n)
+                s0, s1 = r0 - (j + 1), r1_ - (j + 1)
+                u_ref[r0:r1_, c0:w1, :] = (
+                    u_ref[r0:r1_, c0:w1, :]
+                    - colj[s0:s1] * ujw
+                    - colj1[s0 - 1:s1 - 1] * uj1w)
         j += 2
 
 
@@ -360,7 +377,8 @@ def _inv_apply(g_read, rhs, n, n_p):
 
 def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
                        *, n, n_p, bt, shared_r, whole,
-                       rhs_ref=None, x_ref=None, r1_vmem=None):
+                       rhs_ref=None, x_ref=None, r1_vmem=None,
+                       z_ref=None):
     i = pl.program_id(0)
 
     def lane_slice(ref):
@@ -382,13 +400,26 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
             lane_slice(r_hbm), u_vmem.at[:, 0:n_p, :], sem_in)
         cp_in.start()
         cp_in.wait()
-    u_vmem[:, n_p:, :] = _eye_lanes(n_p, bt, dinv_ref.dtype)
+
+    rhs = rhs_ref[...] if rhs_ref is not None else None
+    if z_ref is not None:
+        # Fold the R @ z matvec into this kernel — R is already resident
+        # (the T half of U, before the lazy diagonal shift), so this saves
+        # a full HBM read of R in the IPM's predictor RHS. Independent
+        # row-dot reductions, issue-bound.
+        z = z_ref[...]
+        if n_p != n:
+            z = jnp.pad(z, ((0, n_p - n), (0, 0)))
+        rz_rows = [jnp.sum(u_vmem[k, 0:n_p, :] * z, axis=0, keepdims=True)
+                   for k in range(n)]
+        rhs = rhs - jnp.concatenate(rz_rows, axis=0)
+
+    _write_eye(u_vmem, n_p, n_p, bt, dinv_ref.dtype)
 
     _chol_inv_inplace(u_vmem, dinv_ref, n, n_p, bt)
 
-    if rhs_ref is not None:
-        x_ref[...] = _inv_apply(lambda k: u_vmem[k, n_p:, :],
-                                rhs_ref[...], n, n_p)
+    if rhs is not None:
+        x_ref[...] = _inv_apply(lambda k: u_vmem[k, n_p:, :], rhs, n, n_p)
 
     cp_out = pltpu.make_async_copy(
         u_vmem.at[:, n_p:, :], lane_slice(g_hbm), sem_out)
@@ -396,18 +427,27 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
     cp_out.wait()
 
 
-def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
+def _factor_inv_call(R_t, dinv_t, rhs_t, interpret, z_t=None):
     n, B = dinv_t.shape
     n_p = R_t.shape[0]
     assert n_p == pad_up(n), (n, n_p)
     bt = pick_bt(B)
     shared = R_t.shape[-1] == 1
     with_rhs = rhs_t is not None
+    assert z_t is None or with_rhs
     dtype = dinv_t.dtype
 
     whole = bt == B
 
-    if with_rhs:
+    if z_t is not None:
+        def kernel(r_hbm, dinv_ref, rhs_ref, z_ref, g_hbm, x_ref, u_vmem,
+                   sem_in, sem_out, *scr):
+            _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem,
+                               sem_in, sem_out, n=n, n_p=n_p, bt=bt,
+                               shared_r=shared, whole=whole,
+                               rhs_ref=rhs_ref, x_ref=x_ref, z_ref=z_ref,
+                               r1_vmem=scr[0] if scr else None)
+    elif with_rhs:
         def kernel(r_hbm, dinv_ref, rhs_ref, g_hbm, x_ref, u_vmem,
                    sem_in, sem_out, *scr):
             _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem,
@@ -422,20 +462,19 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
                                shared_r=shared, whole=whole,
                                r1_vmem=scr[0] if scr else None)
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-    ]
+    vec_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), vec_spec]
     out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
     out_shape = jax.ShapeDtypeStruct((n_p, n_p, B), dtype)
     if with_rhs:
-        in_specs.append(pl.BlockSpec((n, bt), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM))
-        out_specs = [out_specs,
-                     pl.BlockSpec((n, bt), lambda i: (0, i),
-                                  memory_space=pltpu.VMEM)]
+        in_specs.append(vec_spec)
+        if z_t is not None:
+            in_specs.append(vec_spec)
+        out_specs = [out_specs, vec_spec]
         out_shape = [out_shape, jax.ShapeDtypeStruct((n, B), dtype)]
-    args = (R_t, dinv_t) + ((rhs_t,) if with_rhs else ())
+    args = ((R_t, dinv_t) + ((rhs_t,) if with_rhs else ())
+            + ((z_t,) if z_t is not None else ()))
     scratch = [
         pltpu.VMEM((n_p, 2 * n_p, bt), dtype),
         pltpu.SemaphoreType.DMA,
@@ -450,6 +489,8 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -471,6 +512,18 @@ def factor_inv_solve_lanes(R_t, dinv_t, rhs_t, *,
     if interpret is None:
         interpret = _default_interpret()
     return _factor_inv_call(R_t, dinv_t, rhs_t, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factor_inv_solve_rz_lanes(R_t, dinv_t, q_t, z_t, *,
+                              interpret: bool | None = None):
+    """Fused inverse-factor + solve with in-kernel RHS assembly:
+    (G, x) with (R + diag(dinv)) x = q - R z. The R @ z matvec reads R
+    from VMEM (already loaded for the factorization), saving one full HBM
+    pass over R versus computing the RHS outside."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _factor_inv_call(R_t, dinv_t, q_t, interpret, z_t=z_t)
 
 
 def _inv_solve_kernel(g_ref, rhs_ref, x_ref, *, n, n_p):
