@@ -119,10 +119,12 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
     def fast_predictor(x, s, z, y, d):
         """Factor + predictor solve via cached products; returns
-        (fac, dx, ds, dz, dy). The R @ z part of the RHS is folded into
+        (fac, ds, dz, dy, u). The R @ z part of the RHS is folded into
         the factor kernel (backend.factor_solve_rz): note
         GiGT z = R z + S21 (W z), so only the small S21/W products stay
-        outside."""
+        outside. dx is NOT formed here — the IPM only ever uses
+        dx_affine + dx_corrector, so the combined dx is assembled once in
+        fast_combined (one invQ_GT read per iteration instead of two)."""
         fs = solver_factors
         q = -(h + G_invQ_p)
         if neq > 0:
@@ -134,29 +136,28 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         else:
             u = None
         fac, dz = backend.factor_solve_rz(fs.R, d, q, z)
-        if neq > 0:
-            dy = u - kkt_ops.bmv(fs.W, dz)
-            dx = (-(x + invQ_p) - kkt_ops.bmv(fs.invQ_GT, z + dz)
-                  - kkt_ops.bmv(fs.invQ_AT, y + dy))
-        else:
-            dy = None
-            dx = -(x + invQ_p) - kkt_ops.bmv(fs.invQ_GT, z + dz)
+        dy = (u - kkt_ops.bmv(fs.W, dz)) if neq > 0 else None
         ds = (-z - dz) / d
-        return fac, dx, ds, dz, dy
+        return fac, ds, dz, dy, u
 
     def fast_corrector(fac, rs_c, d):
-        """Corrector solve (RHS zero except rs) via cached products."""
+        """Corrector solve (RHS zero except rs) via cached products;
+        returns (ds, dz, dy) — dx folded into fast_combined."""
         fs = solver_factors
         dz = backend.solve2(fac, -(rs_c / d))
-        if neq > 0:
-            dy = -kkt_ops.bmv(fs.W, dz)
-            dx = (-kkt_ops.bmv(fs.invQ_GT, dz)
-                  - kkt_ops.bmv(fs.invQ_AT, dy))
-        else:
-            dy = None
-            dx = -kkt_ops.bmv(fs.invQ_GT, dz)
+        dy = -kkt_ops.bmv(fs.W, dz) if neq > 0 else None
         ds = (-rs_c - dz) / d
-        return dx, ds, dz, dy
+        return ds, dz, dy
+
+    def fast_combined_dx(x, z, y, dz, dy):
+        """Combined-direction dx = dx_affine + dx_corrector from the
+        combined dz/dy (linearity of the backsubstitution):
+        dx = -(x + Q^-1 p) - Q^-1 G^T (z + dz) - Q^-1 A^T (y + dy)."""
+        fs = solver_factors
+        dx = -(x + invQ_p) - kkt_ops.bmv(fs.invQ_GT, z + dz)
+        if neq > 0:
+            dx = dx - kkt_ops.bmv(fs.invQ_AT, y + dy)
+        return dx
 
     def kkt_factor_solve(d, rx, rs, rz, ry):
         """Per-iteration factor completion + first solve, fused.
@@ -291,7 +292,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             # (batch.py:98 sets rs := z); factor fused with this solve,
             # then shared by the corrector.
             if fast:
-                fac, dx_a, ds_a, dz_a, dy_a = fast_predictor(x, s, z, y, d)
+                fac, ds_a, dz_a, dy_a, _ = fast_predictor(x, s, z, y, d)
             else:
                 fac, dx_a, ds_a, dz_a, dy_a = kkt_factor_solve(
                     d, rx, z, rz, ry)
@@ -310,12 +311,15 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             # (batch.py:170-173) — structural zeros skip their matvecs.
             rs_c = ((-mu * sig)[:, None] + ds_a * dz_a) / s
             if fast:
-                dx_c, ds_c, dz_c, dy_c = fast_corrector(fac, rs_c, d)
+                ds_c, dz_c, dy_c = fast_corrector(fac, rs_c, d)
+                ds, dz = ds_a + ds_c, dz_a + dz_c
+                dy = (dy_a + dy_c) if neq > 0 else None
+                dx = fast_combined_dx(x, z, y, dz, dy)
             else:
                 dx_c, ds_c, dz_c, dy_c = kkt_solve(
                     fac, d, None, rs_c, None, None)
-
-            dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
+                dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
+                dy = (dy_a + dy_c) if neq > 0 else None
             alpha = jnp.minimum(
                 0.999 * jnp.minimum(_step_to_boundary(z, dz),
                                     _step_to_boundary(s, ds)),
@@ -327,7 +331,6 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
                         | jnp.isnan(dz).any(-1))
             if neq > 0:
-                dy = dy_a + dy_c
                 lane_bad = lane_bad | jnp.isnan(dy).any(-1)
             alpha = jnp.where(lane_bad, 0.0, alpha)[:, None]
 
