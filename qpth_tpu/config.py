@@ -119,6 +119,11 @@ class SolverConfig:
     #: is strictly interior. The reference has no warm-start support; this
     #: is the MPC-style receding-horizon extension (SURVEY §5.4).
     warm_start_min: float = 1e-3
+    #: Gondzio multiple centrality correctors per iteration (beyond the
+    #: reference's single Mehrotra corrector). Each one costs a single
+    #: back-solve on the cached factorization and is accepted per-lane
+    #: only when it lengthens the step. 0 = reference behavior.
+    n_correctors: int = 0
 
     def __post_init__(self):
         if self.broadcast_grad_reduction not in ("sum", "mean"):

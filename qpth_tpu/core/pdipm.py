@@ -314,12 +314,47 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                 ds_c, dz_c, dy_c = fast_corrector(fac, rs_c, d)
                 ds, dz = ds_a + ds_c, dz_a + dz_c
                 dy = (dy_a + dy_c) if neq > 0 else None
-                dx = fast_combined_dx(x, z, y, dz, dy)
+                dx = None  # assembled after the corrector loop
             else:
                 dx_c, ds_c, dz_c, dy_c = kkt_solve(
                     fac, d, None, rs_c, None, None)
                 dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
                 dy = (dy_a + dy_c) if neq > 0 else None
+
+            # Gondzio multiple centrality corrections (beyond the
+            # reference): push trial complementarity products back into
+            # the cone [0.1, 10] * (sigma mu) with one extra back-solve
+            # each, accepted per-lane only when the step lengthens
+            # (Gondzio 1996, "Multiple centrality corrections in a
+            # primal-dual method for linear programming").
+            for _ in range(config.n_correctors):
+                a_g = jnp.minimum(
+                    jnp.minimum(_step_to_boundary(z, dz),
+                                _step_to_boundary(s, ds)), 1.0)
+                a_t = jnp.minimum(1.08 * a_g + 0.08, 1.0)[:, None]
+                v = (s + a_t * ds) * (z + a_t * dz)
+                mu_t = (sig * mu)[:, None]
+                rs_g = (v - jnp.clip(v, 0.1 * mu_t, 10.0 * mu_t)) / s
+                if fast:
+                    dds, ddz, ddy = fast_corrector(fac, rs_g, d)
+                    ddx = None
+                else:
+                    ddx, dds, ddz, ddy = kkt_solve(
+                        fac, d, None, rs_g, None, None)
+                dz_n, ds_n = dz + ddz, ds + dds
+                a_n = jnp.minimum(
+                    jnp.minimum(_step_to_boundary(z, dz_n),
+                                _step_to_boundary(s, ds_n)), 1.0)
+                acc = (a_n > a_g)[:, None]
+                dz = jnp.where(acc, dz_n, dz)
+                ds = jnp.where(acc, ds_n, ds)
+                if neq > 0:
+                    dy = jnp.where(acc, dy + ddy, dy)
+                if not fast:
+                    dx = jnp.where(acc, dx + ddx, dx)
+
+            if fast:
+                dx = fast_combined_dx(x, z, y, dz, dy)
             alpha = jnp.minimum(
                 0.999 * jnp.minimum(_step_to_boundary(z, dz),
                                     _step_to_boundary(s, ds)),

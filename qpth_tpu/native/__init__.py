@@ -30,17 +30,20 @@ def _build() -> str | None:
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return None
-    for cxx in ("g++", "c++", "clang++"):
-        try:
-            r = subprocess.run(
-                [cxx, "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB_PATH, _SRC],
-                capture_output=True, text=True, timeout=120)
-            if r.returncode == 0:
-                return None
-            err = r.stderr
-        except (OSError, subprocess.TimeoutExpired) as e:
-            err = str(e)
+    # Prefer an OpenMP build (the batch loop parallelizes across cores);
+    # fall back to serial if the toolchain lacks it.
+    for extra in (["-fopenmp"], []):
+        for cxx in ("g++", "c++", "clang++"):
+            try:
+                r = subprocess.run(
+                    [cxx, "-O3", "-march=native", *extra, "-shared",
+                     "-fPIC", "-o", _LIB_PATH, _SRC],
+                    capture_output=True, text=True, timeout=120)
+                if r.returncode == 0:
+                    return None
+                err = r.stderr
+            except (OSError, subprocess.TimeoutExpired) as e:
+                err = str(e)
     return err
 
 

@@ -210,6 +210,10 @@ int qp_solve_batch(int B, int n, int m, int neq, int bQ, int bG, int bA,
                    double tol, int max_iter, double* x, double* y,
                    double* lam, double* s) {
   int failures = 0;
+  // Lanes are independent QPs; parallelize across host cores (the analog
+  // of the reference batching its CVXPY fallback, which it never did —
+  // qp.py:104-115 is a serial Python loop).
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
   for (int i = 0; i < B; ++i) {
     const double* Qi = Q + (size_t)(bQ > 1 ? i : 0) * n * n;
     const double* Gi = G + (size_t)(bG > 1 ? i : 0) * m * n;
