@@ -392,6 +392,9 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
         # and lane-broadcast from there.
         cp_in = pltpu.make_async_copy(r_hbm, r1_vmem, sem_in)
         cp_in.start()
+        # Identity init of the G half overlaps the in-flight DMA (the DMA
+        # targets the disjoint T half / scratch).
+        _write_eye(u_vmem, n_p, n_p, bt, dinv_ref.dtype)
         cp_in.wait()
         u_vmem[:, 0:n_p, :] = jnp.broadcast_to(
             r1_vmem[...], (n_p, n_p, bt))
@@ -399,6 +402,7 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
         cp_in = pltpu.make_async_copy(
             lane_slice(r_hbm), u_vmem.at[:, 0:n_p, :], sem_in)
         cp_in.start()
+        _write_eye(u_vmem, n_p, n_p, bt, dinv_ref.dtype)
         cp_in.wait()
 
     rhs = rhs_ref[...] if rhs_ref is not None else None
@@ -414,16 +418,15 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
                    for k in range(n)]
         rhs = rhs - jnp.concatenate(rz_rows, axis=0)
 
-    _write_eye(u_vmem, n_p, n_p, bt, dinv_ref.dtype)
-
     _chol_inv_inplace(u_vmem, dinv_ref, n, n_p, bt)
 
-    if rhs is not None:
-        x_ref[...] = _inv_apply(lambda k: u_vmem[k, n_p:, :], rhs, n, n_p)
-
+    # The out-DMA and the in-VMEM solve both only READ the finished G
+    # half, so the solve runs under the DMA.
     cp_out = pltpu.make_async_copy(
         u_vmem.at[:, n_p:, :], lane_slice(g_hbm), sem_out)
     cp_out.start()
+    if rhs is not None:
+        x_ref[...] = _inv_apply(lambda k: u_vmem[k, n_p:, :], rhs, n, n_p)
     cp_out.wait()
 
 
