@@ -96,7 +96,8 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     dtype = p.dtype
     axis = config.axis_name
 
-    backend = kkt_ops.resolve_backend(config.use_pallas, dtype)
+    backend = kkt_ops.resolve_backend(config.use_pallas, dtype,
+                                      m=nineq, B=B)
     if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
         solver_factors = backend.prepare(factors)
     else:

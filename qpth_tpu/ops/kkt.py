@@ -89,7 +89,9 @@ def _spd_inv(M, use_pallas_kernels: bool):
     (batch-major, XLA). Small/shared batches: XLA Cholesky-solve against
     the identity."""
     B, n = M.shape[0], M.shape[-1]
-    if use_pallas_kernels and B >= 8:
+    from .pallas.lanes import lanes_supported
+
+    if use_pallas_kernels and B >= 8 and lanes_supported(n, B):
         import jax
 
         from .pallas import factor_inv_lanes, pad_spd_lanes
@@ -275,10 +277,11 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                       factor_solve_rz=factor_solve_rz)
 
 
-def resolve_backend(use_pallas, dtype=None) -> KKTBackend:
+def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:
     """Map SolverConfig.use_pallas ("auto" | bool | "lanes" | "blocked" |
     "xla") to a backend. The Pallas kernels are float32-only; other dtypes
-    (float64 CPU test runs, bf16 experiments) fall back to XLA."""
+    (float64 CPU test runs, bf16 experiments) fall back to XLA, as do
+    problem sizes whose working set exceeds VMEM (m beyond ~136)."""
     import jax
     import numpy as np
 
@@ -289,6 +292,11 @@ def resolve_backend(use_pallas, dtype=None) -> KKTBackend:
         use_pallas = "lanes" if on_tpu else False
     elif use_pallas is True:
         use_pallas = "lanes"
+    if use_pallas == "lanes" and m is not None and B is not None:
+        from .pallas.lanes import lanes_supported
+
+        if not lanes_supported(m, B):
+            return xla_backend()
     if not use_pallas or use_pallas == "xla":
         return xla_backend()
     interpret = not on_tpu

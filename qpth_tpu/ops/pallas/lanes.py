@@ -65,6 +65,21 @@ def pad_batch_lanes(B: int) -> int:
     return B if B <= 128 else pad_up(B, 128)
 
 
+#: Usable per-core VMEM for the fused kernel's [T | G] buffer (the v5e
+#: scoped limit is ~20.9 MB; leave room for vector blocks and temps).
+_VMEM_BUDGET = 19 * 1024 * 1024
+
+
+def lanes_supported(m: int, B: int) -> bool:
+    """Whether the lanes kernels fit VMEM for this problem size. The
+    [T | G] working buffer is (m_p, 2 m_p, bt) f32 with bt = min(B', 128);
+    beyond m ~ 136 (at full lane tiles) it cannot fit and callers must
+    fall back to the XLA path."""
+    m_p = pad_up(max(m, 1))
+    bt = min(pad_batch_lanes(B), 128)
+    return 2 * m_p * m_p * bt * 4 <= _VMEM_BUDGET
+
+
 def pad_up(n: int, m: int = SUB) -> int:
     return -(-n // m) * m
 

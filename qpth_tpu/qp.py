@@ -174,7 +174,8 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     c = config.grad_clamp
     d = jnp.maximum(lam, c) / jnp.maximum(s, c)
 
-    backend = kkt_ops.resolve_backend(config.use_pallas, dt)
+    backend = kkt_ops.resolve_backend(config.use_pallas, dt,
+                                      m=nineq, B=B)
     solver_factors = backend.prepare(factors)
     # Backward RHS is (dl/dz, 0, 0, 0) — qp.py:151-155; the zero blocks are
     # structural, so their matvecs are skipped entirely, and the one KKT
