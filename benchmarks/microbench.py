@@ -7,6 +7,11 @@ dependent applications of the op inside ONE jitted program and syncs by
 reading back a small full array. Reported time = (chained - baseline)/iters.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import time
 
 import jax

@@ -10,6 +10,11 @@ for why: the axon TPU tunnel neither syncs on block_until_ready nor reads
 back large arrays quickly).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import argparse
 import time
 

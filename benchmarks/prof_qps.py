@@ -6,6 +6,11 @@ against the float64 CPU oracle (the reference quotes 1e-4..1e-5 agreement
 vs Gurobi, prof-gurobi.py:120-122).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import argparse
 import time
 
