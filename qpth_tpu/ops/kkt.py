@@ -101,8 +101,11 @@ def _spd_inv(M, use_pallas_kernels: bool):
         zero_d = jnp.zeros((n, B), M.dtype)
         G = factor_inv_lanes(M_t, zero_d, interpret=interpret)
         G_b = jnp.transpose(G, (2, 0, 1))[:, :n, :n]
+        # precision=HIGHEST: TPU f32 matmuls otherwise run reduced-precision
+        # bf16 passes, which the IPM's conditioning cannot tolerate.
         return jnp.einsum("bki,bkj->bij", G_b, G_b,
-                          preferred_element_type=M.dtype)
+                          preferred_element_type=M.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype),
                            (M.shape[0], n, n))
     return cho_solve(cholesky(M), eye)

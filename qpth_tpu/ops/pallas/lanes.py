@@ -373,20 +373,26 @@ def _chol_inv_inplace(u_ref, dinv_ref, n, n_p, bt):
         j += 2
 
 
-def _inv_apply(g_read, rhs, n, n_p):
-    """x = G^T (G rhs) = T^-1 rhs as a sum of rank-1 applications:
-    x = sum_i (G_i . r) G_i. Each term is an independent reduce + FMA;
-    two alternating accumulators break the FMA dependency chain.
-    rhs: (n, BT)."""
+def _inv_apply(g_slab, rhs, n, n_p):
+    """x = G^T (G rhs) = T^-1 rhs as a sum of rank-1 applications
+    processed in 8-row slabs:
+        w8 = sum_cols(G8 * r)        (8, BT)  independent reduces
+        x += sum_rows(G8 * w8)       (n_p, BT)
+    g_slab(k0, rows) -> (rows, n_p, BT). Slab grouping cuts the op count
+    ~8x vs row-at-a-time; two alternating accumulators break the FMA
+    chain. rhs: (n, BT). Padding rows of G are identity rows and r is
+    zero there, so they contribute nothing."""
     if n_p != n:
         r = jnp.pad(rhs, ((0, n_p - n), (0, 0)))
     else:
         r = rhs
     acc = [jnp.zeros_like(r), jnp.zeros_like(r)]
-    for i in range(n):
-        g_i = g_read(i)                                # (n_p, BT)
-        w_i = jnp.sum(g_i * r, axis=0, keepdims=True)  # (1, BT)
-        acc[i % 2] = acc[i % 2] + w_i * g_i
+    for idx, k0 in enumerate(range(0, n, SUB)):
+        rows = min(SUB, n - k0)
+        g8 = g_slab(k0, rows)                          # (rows, n_p, BT)
+        w8 = jnp.sum(g8 * r[None], axis=1)             # (rows, BT)
+        acc[idx % 2] = acc[idx % 2] + jnp.sum(
+            g8 * w8[:, None, :], axis=0)               # (n_p, BT)
     return (acc[0] + acc[1])[:n]
 
 
@@ -429,9 +435,10 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
         z = z_ref[...]
         if n_p != n:
             z = jnp.pad(z, ((0, n_p - n), (0, 0)))
-        rz_rows = [jnp.sum(u_vmem[k, 0:n_p, :] * z, axis=0, keepdims=True)
-                   for k in range(n)]
-        rhs = rhs - jnp.concatenate(rz_rows, axis=0)
+        rz_rows = [jnp.sum(u_vmem[k0:k0 + min(SUB, n - k0), 0:n_p, :]
+                           * z[None], axis=1)
+                   for k0 in range(0, n, SUB)]
+        rhs = rhs - jnp.concatenate(rz_rows, axis=0)[:n]
 
     _chol_inv_inplace(u_vmem, dinv_ref, n, n_p, bt)
 
@@ -441,7 +448,8 @@ def _factor_inv_kernel(r_hbm, dinv_ref, g_hbm, u_vmem, sem_in, sem_out,
         u_vmem.at[:, n_p:, :], lane_slice(g_hbm), sem_out)
     cp_out.start()
     if rhs is not None:
-        x_ref[...] = _inv_apply(lambda k: u_vmem[k, n_p:, :], rhs, n, n_p)
+        x_ref[...] = _inv_apply(
+            lambda k0, rows: u_vmem[k0:k0 + rows, n_p:, :], rhs, n, n_p)
     cp_out.wait()
 
 
@@ -545,7 +553,8 @@ def factor_inv_solve_rz_lanes(R_t, dinv_t, q_t, z_t, *,
 
 
 def _inv_solve_kernel(g_ref, rhs_ref, x_ref, *, n, n_p):
-    x_ref[...] = _inv_apply(lambda k: g_ref[k, :, :], rhs_ref[...], n, n_p)
+    x_ref[...] = _inv_apply(lambda k0, rows: g_ref[k0:k0 + rows, :, :],
+                            rhs_ref[...], n, n_p)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
