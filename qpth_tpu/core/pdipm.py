@@ -118,6 +118,23 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         G_invQ_p = kkt_ops.bmv(G, invQ_p)
         A_invQ_p = kkt_ops.bmv(A, invQ_p) if neq > 0 else None
 
+    # Fully-fused IPM step (one Pallas kernel per iteration): neq == 0,
+    # lanes backend, batched Q^-1 G^T, and everything fits VMEM.
+    use_fused = False
+    if fast and neq == 0 and backend.fused_step is not None:
+        from ..ops.pallas.lanes import ipm_step_supported
+
+        use_fused = (solver_factors.invQ_GT.shape[0] == B
+                     and ipm_step_supported(nz, nineq, B))
+    if use_fused:
+        iGT_prep, q_t, ip_t = backend.prepare_fused(
+            solver_factors.invQ_GT, -(h + G_invQ_p), invQ_p)
+
+    def fused_do_step(x, s, z):
+        """Whole predictor+corrector(+Gondzio) iteration in one kernel."""
+        return backend.fused_step(solver_factors.R, iGT_prep, x, s, z,
+                                  q_t, ip_t, config.n_correctors)
+
     def fast_predictor(x, s, z, y, d):
         """Factor + predictor solve via cached products; returns
         (fac, ds, dz, dy, u). The R @ z part of the RHS is folded into
@@ -288,6 +305,9 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
         def do_step(args):
             x, s, z, y = args
+            if use_fused:
+                x, s, z = fused_do_step(x, s, z)
+                return x, s, z, y
             d = z / s
             # Predictor: affine direction with RHS (rx, z, rz, ry)
             # (batch.py:98 sets rs := z); factor fused with this solve,

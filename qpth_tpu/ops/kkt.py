@@ -91,9 +91,13 @@ def _spd_inv(M, use_pallas_kernels: bool):
     B, n = M.shape[0], M.shape[-1]
     from .pallas.lanes import lanes_supported
 
-    if use_pallas_kernels and B >= 8 and lanes_supported(n, B):
-        import jax
+    import jax
 
+    interp = jax.default_backend() != "tpu"
+    # Hardware lane-DMA alignment: only 128-multiple batches take the
+    # Pallas path (others fall back to XLA — rare and cheap).
+    if (use_pallas_kernels and B >= 8 and lanes_supported(n, B)
+            and (interp or B % 128 == 0)):
         from .pallas import factor_inv_lanes, pad_spd_lanes
 
         interpret = jax.default_backend() != "tpu"
@@ -187,6 +191,13 @@ class KKTBackend(NamedTuple):
     #: (R + diag(1/d)) x = q - R z — the R @ z matvec folded into the
     #: factor kernel where R is already resident (one fewer HBM pass).
     factor_solve_rz: object
+    #: (invQ_GT) -> prepared operand for the fused whole-step kernel;
+    #: None when the backend has no fused step.
+    prepare_fused: object = None
+    #: (R_prepared, iGT_prepared, x, s, z, q_t, ip_t, n_correctors) ->
+    #: (x', s', z'): one full IPM iteration fused in a single kernel
+    #: (neq == 0 only). None when unavailable.
+    fused_step: object = None
 
 
 def xla_backend() -> KKTBackend:
@@ -232,17 +243,27 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                          inv_solve_lanes, pad_spd_lanes)
     from .pallas.lanes import factor_inv_solve_rz_lanes, pad_batch_lanes
 
+    def _padded_B(B):
+        # On hardware every lane-dim DMA (even a whole-array copy) must be
+        # 128-aligned; interpret mode (CPU tests) is exempt and keeps
+        # small batches cheap.
+        if interpret:
+            return B
+        from .pallas.lanes import pad_up
+
+        return pad_up(B, 128)
+
     def prepare(factors: KKTFactors) -> KKTFactors:
         R_t = pad_spd_lanes(jnp.transpose(factors.R, (1, 2, 0)))
         bR = R_t.shape[-1]
-        Bp = pad_batch_lanes(bR)
-        if bR > 1 and Bp != bR:   # lane-dim DMA slices need 128 alignment
+        Bp = _padded_B(bR)
+        if bR > 1 and Bp != bR:
             R_t = jnp.pad(R_t, ((0, 0), (0, 0), (0, Bp - bR)))
         return factors._replace(R=R_t)
 
     def _pad_lanes(v_t, fill):
         B = v_t.shape[-1]
-        Bp = pad_batch_lanes(B)
+        Bp = _padded_B(B)
         if Bp == B:
             return v_t
         return jnp.pad(v_t, ((0, 0), (0, Bp - B)), constant_values=fill)
@@ -275,9 +296,39 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
             interpret=interpret)
         return G, jnp.swapaxes(x_t[:, :B], 0, 1)
 
+    def prepare_fused(invQ_GT, q, ip):
+        """Loop-invariant operands for ipm_step_lanes: invQ_GT (B, nz, m)
+        to lanes layout (nz_p, m_p, Bp); q (B, m) / ip (B, nz) transposed
+        and lane-padded."""
+        from .pallas.lanes import pad_up as _pu
+
+        t = jnp.transpose(invQ_GT, (1, 2, 0))
+        nz, m, b = t.shape
+        t = jnp.pad(t, ((0, _pu(nz) - nz), (0, _pu(m) - m),
+                        (0, _padded_B(b) - b)))
+        q_t = _pad_lanes(jnp.swapaxes(q, 0, 1), 0.0)
+        ip_t = _pad_lanes(jnp.swapaxes(ip, 0, 1), 0.0)
+        return t, q_t, ip_t
+
+    def fused_step(R_t, iGT_t, x, s, z, q_t, ip_t, n_correctors):
+        from .pallas.lanes import ipm_step_lanes
+
+        B = x.shape[0]
+        x_t = _pad_lanes(jnp.swapaxes(x, 0, 1), 0.0)
+        s_t = _pad_lanes(jnp.swapaxes(s, 0, 1), 1.0)
+        z_t = _pad_lanes(jnp.swapaxes(z, 0, 1), 1.0)
+        xo, so, zo = ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t,
+                                    n_correctors=n_correctors,
+                                    interpret=interpret)
+        return (jnp.swapaxes(xo[:, :B], 0, 1),
+                jnp.swapaxes(so[:, :B], 0, 1),
+                jnp.swapaxes(zo[:, :B], 0, 1))
+
     return KKTBackend(prepare=prepare, factor=factor, solve2=solve2,
                       factor_solve=factor_solve,
-                      factor_solve_rz=factor_solve_rz)
+                      factor_solve_rz=factor_solve_rz,
+                      prepare_fused=prepare_fused,
+                      fused_step=fused_step)
 
 
 def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:

@@ -583,6 +583,211 @@ def inv_solve_lanes(G_t, rhs_t, *, interpret: bool | None = None):
 
 
 # ---------------------------------------------------------------------------
+# Fused whole-IPM-step kernel (neq == 0 fast path).
+#
+# One pallas_call per IPM iteration doing: T = R + diag(s/z) factor +
+# triangular inverse, predictor RHS (R @ z folded), predictor solve,
+# step-to-boundary, Mehrotra centering, corrector solve(s), combined dx
+# via Q^-1 G^T (DMA'd in under the factorization), and the damped state
+# update. The inverse never leaves VMEM and per-lane reductions (alpha,
+# mu, sigma) run in the lane layout, eliminating the separate corrector
+# kernel, the G HBM round-trip, and several XLA matvecs + transposes.
+# ---------------------------------------------------------------------------
+
+def _step_lanes(v, dv, big=3.4e38):
+    """Per-lane max step with v + a dv >= 0: min over the sublane dim of
+    -v/dv on decreasing coords (batch.py:210-213). v, dv: (m, BT)."""
+    a = jnp.where(dv < 0, -v / dv, big)
+    return jnp.min(a, axis=0, keepdims=True)         # (1, BT)
+
+
+def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
+                     xo_ref, so_ref, zo_ref, u_vmem, igt_vmem,
+                     sem_r, sem_g, *, nz, nz_p, m, m_p, bt, whole,
+                     shared_r, n_correctors, r1_vmem=None):
+    i = pl.program_id(0)
+
+    def lane_slice(ref):
+        return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
+
+    # Start both input DMAs; Q^-1 G^T is only needed at the very end, so
+    # its transfer hides entirely under the factorization.
+    if shared_r:
+        cp_r = pltpu.make_async_copy(r_hbm, r1_vmem, sem_r)
+    else:
+        cp_r = pltpu.make_async_copy(
+            lane_slice(r_hbm), u_vmem.at[:, 0:m_p, :], sem_r)
+    cp_r.start()
+    cp_g = pltpu.make_async_copy(lane_slice(igt_hbm), igt_vmem, sem_g)
+    cp_g.start()
+    _write_eye(u_vmem, m_p, m_p, bt, x_ref.dtype)
+    cp_r.wait()
+    if shared_r:
+        u_vmem[:, 0:m_p, :] = jnp.broadcast_to(
+            r1_vmem[...], (m_p, m_p, bt))
+
+    x = x_ref[...]                                    # (nz, BT)
+    s = s_ref[...]                                    # (m, BT)
+    z = z_ref[...]
+    d = z / s
+    dinv = s / z
+
+    # Predictor RHS: q - R z (T half still holds raw R).
+    zp = jnp.pad(z, ((0, m_p - m), (0, 0))) if m_p != m else z
+    rz_rows = [jnp.sum(u_vmem[k0:k0 + min(SUB, m - k0), 0:m_p, :]
+                       * zp[None], axis=1)
+               for k0 in range(0, m, SUB)]
+    rhs_a = q_ref[...] - jnp.concatenate(rz_rows, axis=0)[:m]
+
+    dinv_pad = jnp.pad(dinv, ((0, m_p - m), (0, 0)),
+                       constant_values=1.0) if m_p != m else dinv
+    _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt)
+
+    def apply_T(rhs):
+        return _inv_apply(
+            lambda k0, rows: u_vmem[k0:k0 + rows, m_p:, :], rhs, m, m_p)
+
+    # Predictor.
+    dz_a = apply_T(rhs_a)
+    ds_a = (-z - dz_a) / d
+    one = jnp.ones_like(d[0:1, :])
+    alpha = jnp.minimum(
+        jnp.minimum(_step_lanes(z, dz_a), _step_lanes(s, ds_a)), one)
+    # Mehrotra centering (batch.py:163-168); mu per lane.
+    t2 = jnp.sum(s * z, axis=0, keepdims=True)        # (1, BT)
+    t1 = jnp.sum((s + alpha * ds_a) * (z + alpha * dz_a), axis=0,
+                 keepdims=True)
+    sig = (t1 / t2) ** 3
+    mu = jnp.abs(t2) / m
+
+    # Corrector (RHS zero except rs).
+    rs_c = (-(mu * sig) + ds_a * dz_a) / s
+    dz_c = apply_T(-(rs_c / d))
+    ds_c = (-rs_c - dz_c) / d
+    dz = dz_a + dz_c
+    ds = ds_a + ds_c
+
+    # Optional Gondzio centrality corrections (config.n_correctors).
+    for _ in range(n_correctors):
+        a_g = jnp.minimum(
+            jnp.minimum(_step_lanes(z, dz), _step_lanes(s, ds)), one)
+        a_t = jnp.minimum(1.08 * a_g + 0.08, one)
+        v = (s + a_t * ds) * (z + a_t * dz)
+        mu_t = sig * mu
+        rs_g = (v - jnp.clip(v, 0.1 * mu_t, 10.0 * mu_t)) / s
+        ddz = apply_T(-(rs_g / d))
+        dds = (-rs_g - ddz) / d
+        dz_n, ds_n = dz + ddz, ds + dds
+        a_n = jnp.minimum(
+            jnp.minimum(_step_lanes(z, dz_n), _step_lanes(s, ds_n)), one)
+        acc = a_n > a_g
+        dz = jnp.where(acc, dz_n, dz)
+        ds = jnp.where(acc, ds_n, ds)
+
+    # Combined dx = -(x + Q^-1 p) - Q^-1 G^T (z + dz).
+    cp_g.wait()
+    zdz = z + dz
+    zdzp = jnp.pad(zdz, ((0, m_p - m), (0, 0))) if m_p != m else zdz
+    dx_rows = [
+        -jnp.sum(igt_vmem[k0:k0 + min(SUB, nz - k0), 0:m_p, :]
+                 * zdzp[None], axis=1)
+        for k0 in range(0, nz, SUB)
+    ]
+    dx = jnp.concatenate(dx_rows, axis=0)[:nz] - (x + ip_ref[...])
+
+    # Damped update with per-lane NaN freeze (batch.py:189-203 + the
+    # try/except bail-out replaced by lane masking).
+    alpha2 = jnp.minimum(
+        0.999 * jnp.minimum(_step_lanes(z, dz), _step_lanes(s, ds)), one)
+    bad = (jnp.max(jnp.where(jnp.isnan(dz) | jnp.isnan(ds), 1.0, 0.0),
+                   axis=0, keepdims=True)
+           + jnp.max(jnp.where(jnp.isnan(dx), 1.0, 0.0), axis=0,
+                     keepdims=True))
+    alpha2 = jnp.where(bad > 0, 0.0, alpha2)
+    xo_ref[...] = x + alpha2 * dx
+    so_ref[...] = s + alpha2 * ds
+    zo_ref[...] = z + alpha2 * dz
+
+
+def _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt):
+    """_chol_inv_inplace with dinv given as a padded (m_p, BT) value
+    instead of a ref."""
+
+    class _Wrap:
+        def __getitem__(self, idx):
+            return dinv_pad[idx]
+
+    _chol_inv_inplace(u_vmem, _Wrap(), m, m_p, bt)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_correctors", "interpret"))
+def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
+                   n_correctors: int = 0, interpret: bool | None = None):
+    """One fused IPM iteration (neq == 0). Lanes layout:
+    R_t (m_p, m_p, bR); iGT_t = (Q^-1 G^T)^T-layout (nz_p, m_p, B);
+    x_t (nz, B); s_t, z_t, q_t (m, B); ip_t = (Q^-1 p)^T (nz, B).
+    Returns updated (x_t, s_t, z_t)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    m, B = s_t.shape
+    nz = x_t.shape[0]
+    m_p = R_t.shape[0]
+    nz_p = iGT_t.shape[0]
+    assert m_p == pad_up(m) and nz_p == pad_up(nz)
+    bt = pick_bt(B)
+    shared = R_t.shape[-1] == 1
+    whole = bt == B
+
+    def kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
+               xo_ref, so_ref, zo_ref, u_vmem, igt_vmem, sem_r, sem_g,
+               *scr):
+        _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref,
+                         ip_ref, xo_ref, so_ref, zo_ref, u_vmem, igt_vmem,
+                         sem_r, sem_g, nz=nz, nz_p=nz_p, m=m, m_p=m_p,
+                         bt=bt, whole=whole, shared_r=shared,
+                         n_correctors=n_correctors,
+                         r1_vmem=scr[0] if scr else None)
+
+    vec = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i),  # noqa
+                                    memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((m_p, 2 * m_p, bt), x_t.dtype),
+        pltpu.VMEM((nz_p, m_p, bt), x_t.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if shared:
+        scratch.append(pltpu.VMEM((m_p, m_p, 1), x_t.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            vec(nz), vec(m), vec(m), vec(m), vec(nz),
+        ],
+        out_specs=[vec(nz), vec(m), vec(m)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, B), x_t.dtype),
+            jax.ShapeDtypeStruct((m, B), x_t.dtype),
+            jax.ShapeDtypeStruct((m, B), x_t.dtype),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t)
+
+
+def ipm_step_supported(nz: int, m: int, B: int) -> bool:
+    """VMEM feasibility of the fused step: [T | G] buffer + Q^-1 G^T."""
+    m_p, nz_p = pad_up(max(m, 1)), pad_up(max(nz, 1))
+    bt = min(pad_batch_lanes(B), 128)
+    return (2 * m_p * m_p + nz_p * m_p) * bt * 4 <= _VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
 # solve kernel (factor already in HBM)
 # ---------------------------------------------------------------------------
 
