@@ -1,0 +1,57 @@
+"""Shape-matrix smoke test on the real TPU: forward+grad across sizes,
+batch shapes, shared/batched params, eq constraints, warm starts."""
+import sys, itertools
+sys.path.insert(0, __import__('os').path.join(__import__('os').path.dirname(__file__), '..'))
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_compilation_cache_dir','/root/.jax_cache')
+import qpth_tpu
+
+npr = np.random.RandomState(0)
+
+def make(B, n, m, neq, shared):
+    shp = () if shared else (B,)
+    L = npr.rand(*shp, n, n).astype(np.float32)
+    Q = L @ np.swapaxes(L,-1,-2) + n*np.eye(n, dtype=np.float32)
+    G = npr.randn(*shp, m, n).astype(np.float32)
+    z0 = npr.randn(*shp, n).astype(np.float32)
+    s0 = npr.rand(*shp, m).astype(np.float32)
+    h = (np.einsum('...mn,...n->...m', G, z0) + s0).astype(np.float32)
+    p = npr.randn(B, n).astype(np.float32)
+    if neq:
+        A = npr.randn(*shp, neq, n).astype(np.float32)
+        b = np.einsum('...mn,...n->...m', A, z0).astype(np.float32)
+    else:
+        A = b = None
+    return Q, p, G, h, A, b
+
+cases = [
+    # (B, n, m, neq, shared)
+    (128, 10, 50, 0, True),
+    (128, 10, 50, 3, True),
+    (96, 7, 5, 2, False),     # B not power of two, <128
+    (256, 33, 17, 5, False),  # B=2*128
+    (384, 20, 20, 0, False),  # B=3*128
+    (200, 16, 24, 4, False),  # B>128 not multiple of 128 (lane padding)
+    (64, 1, 1, 0, False),     # degenerate tiny
+    (128, 48, 136, 0, False), # m at the lanes VMEM boundary
+    (128, 48, 137, 0, False), # just past it (xla fallback)
+]
+cfg = qpth_tpu.SolverConfig(check_Q_spd=False, max_iter=6)
+bad = 0
+for (B, n, m, neq, shared) in cases:
+    try:
+        Q, p, G, h, A, b = make(B, n, m, neq, shared)
+        args = [jnp.asarray(v) if v is not None else None for v in (Q, p, G, h, A, b)]
+        sol = jax.jit(lambda *a: qpth_tpu.solve_qp_full(*a, config=cfg))(*args)
+        r = float(np.median(np.asarray(sol.stats.best_resids)))
+        g = jax.jit(jax.grad(lambda p_: (qpth_tpu.solve_qp(
+            args[0], p_, args[2], args[3], args[4], args[5], config=cfg)**2).sum()))(args[1])
+        gm = float(jnp.abs(g).max())
+        ok = np.isfinite(r) and np.isfinite(gm)
+        print(f'B={B:4d} n={n:3d} m={m:3d} neq={neq} shared={int(shared)}: '
+              f'resid {r:9.2e} |g| {gm:9.2e} {"OK" if ok else "BAD"}', flush=True)
+        bad += not ok
+    except Exception as e:
+        print(f'B={B} n={n} m={m} neq={neq} shared={int(shared)}: FAIL {type(e).__name__}: {str(e)[:140]}', flush=True)
+        bad += 1
+print('FAILURES:', bad)
