@@ -100,10 +100,9 @@ def _spd_inv(M, use_pallas_kernels: bool):
             and (interp or B % 128 == 0)):
         from .pallas import factor_inv_lanes, pad_spd_lanes
 
-        interpret = jax.default_backend() != "tpu"
         M_t = pad_spd_lanes(jnp.transpose(M, (1, 2, 0)))
         zero_d = jnp.zeros((n, B), M.dtype)
-        G = factor_inv_lanes(M_t, zero_d, interpret=interpret)
+        G = factor_inv_lanes(M_t, zero_d, interpret=interp)
         G_b = jnp.transpose(G, (2, 0, 1))[:, :n, :n]
         # precision=HIGHEST: TPU f32 matmuls otherwise run reduced-precision
         # bf16 passes, which the IPM's conditioning cannot tolerate.
@@ -191,8 +190,8 @@ class KKTBackend(NamedTuple):
     #: (R + diag(1/d)) x = q - R z — the R @ z matvec folded into the
     #: factor kernel where R is already resident (one fewer HBM pass).
     factor_solve_rz: object
-    #: (invQ_GT) -> prepared operand for the fused whole-step kernel;
-    #: None when the backend has no fused step.
+    #: (invQ_GT, q, ip) -> loop-invariant operands for the fused
+    #: whole-step kernel (lanes layout); None when unavailable.
     prepare_fused: object = None
     #: (R_prepared, iGT_prepared, x, s, z, q_t, ip_t, n_correctors) ->
     #: (x', s', z'): one full IPM iteration fused in a single kernel

@@ -287,12 +287,6 @@ def factor_solve_kkt_lanes(R_t, dinv_t, rhs_t, *,
 # ever materialized.
 # ---------------------------------------------------------------------------
 
-def _eye_lanes(n_p, bt, dtype):
-    i0 = lax.broadcasted_iota(jnp.int32, (n_p, n_p, 1), 0)
-    i1 = lax.broadcasted_iota(jnp.int32, (n_p, n_p, 1), 1)
-    return jnp.broadcast_to((i0 == i1).astype(dtype), (n_p, n_p, bt))
-
-
 def _write_eye(u_ref, col0, n_p, bt, dtype, chunk=SUB):
     """Initialize u_ref[:, col0:col0+n_p, :] = I without materializing the
     full (n_p, n_p, BT) broadcast (VMEM peak control)."""
