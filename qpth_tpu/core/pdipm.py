@@ -124,7 +124,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     if fast and neq == 0 and backend.fused_step is not None:
         from ..ops.pallas.lanes import ipm_step_supported
 
-        use_fused = (solver_factors.invQ_GT.shape[0] == B
+        use_fused = (solver_factors.invQ_GT.shape[0] in (1, B)
                      and ipm_step_supported(nz, nineq, B))
     if use_fused:
         iGT_prep, q_t, ip_t = backend.prepare_fused(

@@ -304,7 +304,7 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
         t = jnp.transpose(invQ_GT, (1, 2, 0))
         nz, m, b = t.shape
         t = jnp.pad(t, ((0, _pu(nz) - nz), (0, _pu(m) - m),
-                        (0, _padded_B(b) - b)))
+                        (0, (_padded_B(b) - b) if b > 1 else 0)))
         q_t = _pad_lanes(jnp.swapaxes(q, 0, 1), 0.0)
         ip_t = _pad_lanes(jnp.swapaxes(ip, 0, 1), 0.0)
         return t, q_t, ip_t

@@ -598,7 +598,7 @@ def _step_lanes(v, dv, big=3.4e38):
 def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
                      xo_ref, so_ref, zo_ref, u_vmem, igt_vmem,
                      sem_r, sem_g, *, nz, nz_p, m, m_p, bt, whole,
-                     shared_r, n_correctors, r1_vmem=None):
+                     shared_r, shared_g, n_correctors, r1_vmem=None):
     i = pl.program_id(0)
 
     def lane_slice(ref):
@@ -612,7 +612,10 @@ def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
         cp_r = pltpu.make_async_copy(
             lane_slice(r_hbm), u_vmem.at[:, 0:m_p, :], sem_r)
     cp_r.start()
-    cp_g = pltpu.make_async_copy(lane_slice(igt_hbm), igt_vmem, sem_g)
+    # Shared Q^-1 G^T (the OptNet-layer pattern: shared constraints,
+    # per-example p) lands in a 1-lane scratch and broadcasts at use.
+    cp_g = pltpu.make_async_copy(
+        igt_hbm if shared_g else lane_slice(igt_hbm), igt_vmem, sem_g)
     cp_g.start()
     _write_eye(u_vmem, m_p, m_p, bt, x_ref.dtype)
     cp_r.wait()
@@ -686,7 +689,7 @@ def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
         -jnp.sum(igt_vmem[k0:k0 + min(SUB, nz - k0), 0:m_p, :]
                  * zdzp[None], axis=1)
         for k0 in range(0, nz, SUB)
-    ]
+    ]  # shared_g: the 1-lane slab broadcasts against (m_p, BT) zdzp
     dx = jnp.concatenate(dx_rows, axis=0)[:nz] - (x + ip_ref[...])
 
     # Damped update with per-lane NaN freeze (batch.py:189-203 + the
@@ -731,6 +734,7 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
     assert m_p == pad_up(m) and nz_p == pad_up(nz)
     bt = pick_bt(B)
     shared = R_t.shape[-1] == 1
+    shared_g = iGT_t.shape[-1] == 1
     whole = bt == B
 
     def kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
@@ -740,14 +744,14 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
                          ip_ref, xo_ref, so_ref, zo_ref, u_vmem, igt_vmem,
                          sem_r, sem_g, nz=nz, nz_p=nz_p, m=m, m_p=m_p,
                          bt=bt, whole=whole, shared_r=shared,
-                         n_correctors=n_correctors,
+                         shared_g=shared_g, n_correctors=n_correctors,
                          r1_vmem=scr[0] if scr else None)
 
     vec = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i),  # noqa
                                     memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((m_p, 2 * m_p, bt), x_t.dtype),
-        pltpu.VMEM((nz_p, m_p, bt), x_t.dtype),
+        pltpu.VMEM((nz_p, m_p, 1 if shared_g else bt), x_t.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]

@@ -15,10 +15,14 @@ from qpth_tpu.ops import kkt as kkt_ops
 from conftest import make_feasible_qp
 
 
+@pytest.mark.parametrize("shared", [False, True])
 @pytest.mark.parametrize("n_correctors", [0, 2])
-def test_fused_step_matches_composed(rng, n_correctors, monkeypatch):
+def test_fused_step_matches_composed(rng, n_correctors, shared,
+                                     monkeypatch):
     Q, p, G, h, _, _ = make_feasible_qp(rng, nz=9, nineq=7, neq=0,
                                         nbatch=8)
+    if shared:   # OptNet-layer pattern: shared Q/G/h, batched p
+        Q, G, h = Q[0], G[0], h[0]
     args = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
     cfg = qpth_tpu.SolverConfig(use_pallas=True, max_iter=6,
                                 n_correctors=n_correctors)
