@@ -22,7 +22,7 @@ def test_fused_step_matches_composed(rng, n_correctors, shared,
     Q, p, G, h, _, _ = make_feasible_qp(rng, nz=9, nineq=7, neq=0,
                                         nbatch=8)
     if shared:   # OptNet-layer pattern: shared Q/G/h, batched p
-        Q, G, h = Q[0], G[0], h[0]
+        G, h = G[0], h[0]  # (Q from the fixture is already unbatched)
     args = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
     cfg = qpth_tpu.SolverConfig(use_pallas=True, max_iter=6,
                                 n_correctors=n_correctors)
