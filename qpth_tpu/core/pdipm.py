@@ -118,22 +118,34 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         G_invQ_p = kkt_ops.bmv(G, invQ_p)
         A_invQ_p = kkt_ops.bmv(A, invQ_p) if neq > 0 else None
 
-    # Fully-fused IPM step (one Pallas kernel per iteration): neq == 0,
-    # lanes backend, batched Q^-1 G^T, and everything fits VMEM.
-    use_fused = False
-    if fast and neq == 0 and backend.fused_step is not None:
+    # Fully-fused IPM step (one Pallas kernel per iteration): lanes
+    # backend, batched-or-shared operands, and everything fits VMEM.
+    use_fused = use_fused_eq = False
+    if fast and backend.fused_step is not None:
         from ..ops.pallas.lanes import ipm_step_supported
 
-        use_fused = (solver_factors.invQ_GT.shape[0] in (1, B)
-                     and ipm_step_supported(nz, nineq, B))
+        ok_b = solver_factors.invQ_GT.shape[0] in (1, B)
+        if neq == 0:
+            use_fused = ok_b and ipm_step_supported(nz, nineq, B)
+        else:
+            use_fused_eq = (ok_b
+                            and solver_factors.S21.shape[0] in (1, B)
+                            and ipm_step_supported(nz, nineq, B, neq))
     if use_fused:
         iGT_prep, q_t, ip_t = backend.prepare_fused(
             solver_factors.invQ_GT, -(h + G_invQ_p), invQ_p)
+    if use_fused_eq:
+        eq_ops, q_t, ip_t = backend.prepare_fused_eq(
+            solver_factors, b + A_invQ_p, -(h + G_invQ_p), invQ_p)
 
     def fused_do_step(x, s, z):
         """Whole predictor+corrector(+Gondzio) iteration in one kernel."""
         return backend.fused_step(solver_factors.R, iGT_prep, x, s, z,
                                   q_t, ip_t, config.n_correctors)
+
+    def fused_do_step_eq(x, s, z, y):
+        return backend.fused_step_eq(solver_factors.R, eq_ops, x, s, z, y,
+                                     q_t, ip_t, config.n_correctors)
 
     def fast_predictor(x, s, z, y, d):
         """Factor + predictor solve via cached products; returns
@@ -308,6 +320,8 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             if use_fused:
                 x, s, z = fused_do_step(x, s, z)
                 return x, s, z, y
+            if use_fused_eq:
+                return fused_do_step_eq(x, s, z, y)
             d = z / s
             # Predictor: affine direction with RHS (rx, z, rz, ry)
             # (batch.py:98 sets rs := z); factor fused with this solve,

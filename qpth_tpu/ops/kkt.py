@@ -197,6 +197,12 @@ class KKTBackend(NamedTuple):
     #: (x', s', z'): one full IPM iteration fused in a single kernel
     #: (neq == 0 only). None when unavailable.
     fused_step: object = None
+    #: (factors, rb, q, ip) -> (eq operand tuple, q_t, ip_t) for the
+    #: eq-constrained fused step.
+    prepare_fused_eq: object = None
+    #: (R_prepared, eq_ops, x, s, z, y, q_t, ip_t, n_correctors) ->
+    #: (x', s', z', y'). None when unavailable.
+    fused_step_eq: object = None
 
 
 def xla_backend() -> KKTBackend:
@@ -323,11 +329,59 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                 jnp.swapaxes(so[:, :B], 0, 1),
                 jnp.swapaxes(zo[:, :B], 0, 1))
 
+    def _mat_lanes(Mb, rows_pad, cols_pad):
+        """(b, r, c) batch-major -> (r_p, c_p, b_p) lanes layout."""
+        from .pallas.lanes import pad_up as _pu
+
+        t = jnp.transpose(Mb, (1, 2, 0))
+        r, c, b = t.shape
+        return jnp.pad(t, ((0, rows_pad - r), (0, cols_pad - c),
+                           (0, (_padded_B(b) - b) if b > 1 else 0)))
+
+    def prepare_fused_eq(factors: KKTFactors, rb, q, ip):
+        from .pallas.lanes import pad_up as _pu
+
+        nz, m = factors.invQ_GT.shape[1], factors.invQ_GT.shape[2]
+        neq = factors.S21.shape[-1]
+        nz_p, m_p, q_p = _pu(nz), _pu(m), _pu(neq)
+        eq_ops = (
+            _mat_lanes(factors.invQ_GT, nz_p, m_p),
+            _mat_lanes(factors.S21, m_p, q_p),
+            _mat_lanes(factors.W, q_p, m_p),
+            _mat_lanes(factors.invS11, q_p, q_p),
+            _mat_lanes(factors.S11, q_p, q_p),
+            _mat_lanes(factors.invQ_AT, nz_p, q_p),
+            _pad_lanes(jnp.swapaxes(rb, 0, 1), 0.0),
+        )
+        q_t = _pad_lanes(jnp.swapaxes(q, 0, 1), 0.0)
+        ip_t = _pad_lanes(jnp.swapaxes(ip, 0, 1), 0.0)
+        return eq_ops, q_t, ip_t
+
+    def fused_step_eq(R_t, eq_ops, x, s, z, y, q_t, ip_t, n_correctors):
+        from .pallas.lanes import ipm_step_eq_lanes
+
+        iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t, rb_t = eq_ops
+        B = x.shape[0]
+        x_t = _pad_lanes(jnp.swapaxes(x, 0, 1), 0.0)
+        s_t = _pad_lanes(jnp.swapaxes(s, 0, 1), 1.0)
+        z_t = _pad_lanes(jnp.swapaxes(z, 0, 1), 1.0)
+        y_t = _pad_lanes(jnp.swapaxes(y, 0, 1), 0.0)
+        xo, so, zo, yo = ipm_step_eq_lanes(
+            R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
+            x_t, s_t, z_t, y_t, q_t, ip_t, rb_t,
+            n_correctors=n_correctors, interpret=interpret)
+        return (jnp.swapaxes(xo[:, :B], 0, 1),
+                jnp.swapaxes(so[:, :B], 0, 1),
+                jnp.swapaxes(zo[:, :B], 0, 1),
+                jnp.swapaxes(yo[:, :B], 0, 1))
+
     return KKTBackend(prepare=prepare, factor=factor, solve2=solve2,
                       factor_solve=factor_solve,
                       factor_solve_rz=factor_solve_rz,
                       prepare_fused=prepare_fused,
-                      fused_step=fused_step)
+                      fused_step=fused_step,
+                      prepare_fused_eq=prepare_fused_eq,
+                      fused_step_eq=fused_step_eq)
 
 
 def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:

@@ -706,6 +706,180 @@ def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
     zo_ref[...] = z + alpha2 * dz
 
 
+def _mv_slabs(read, v_pad, out_n):
+    """Rows-in-tile matvec: out[i] = sum_k M[i, k] v[k], 8-row slabs.
+    read(k0, rows) -> (rows, in_p, BT); v_pad (in_p, BT)."""
+    rows = [jnp.sum(read(k0, min(SUB, out_n - k0)) * v_pad[None], axis=1)
+            for k0 in range(0, out_n, SUB)]
+    return jnp.concatenate(rows, axis=0)[:out_n]
+
+
+def _mtv_slabs(read, v, in_n, out_p, bt, dtype):
+    """Transposed matvec: out[c] = sum_r M[r, c] v[r], accumulating over
+    8-row slabs. read(k0, rows) -> (rows, out_p, BT); v (in_n, BT)."""
+    acc = jnp.zeros((out_p, bt), dtype)
+    for k0 in range(0, in_n, SUB):
+        rows = min(SUB, in_n - k0)
+        vs = v[k0:k0 + rows]
+        acc = acc + jnp.sum(read(k0, rows) * vs[:, None, :], axis=0)
+    return acc
+
+
+def _ipm_step_eq_kernel(r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm,
+                        iat_hbm, x_ref, s_ref, z_ref, y_ref, q_ref, ip_ref,
+                        rb_ref, xo_ref, so_ref, zo_ref, yo_ref,
+                        u_vmem, igt_vmem, s21_vmem, w_vmem, is11_vmem,
+                        s11_vmem, iat_vmem, sems,
+                        *, nz, nz_p, m, m_p, neq, neq_p, bt, whole,
+                        shared_r, shared_g, shared_eq, n_correctors,
+                        r1_vmem=None):
+    """Equality-constrained variant of the fused IPM step: adds the
+    S11/S21/W Schur algebra (reference batch.py:349-372's dy path) to the
+    in-kernel iteration. All equality operands stream in under the
+    factorization."""
+    i = pl.program_id(0)
+
+    def lane_slice(ref, shared):
+        if shared:
+            return ref
+        return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
+
+    if shared_r:
+        cp_r = pltpu.make_async_copy(r_hbm, r1_vmem, sems.at[0])
+    else:
+        cp_r = pltpu.make_async_copy(
+            lane_slice(r_hbm, False), u_vmem.at[:, 0:m_p, :], sems.at[0])
+    cp_r.start()
+    copies = [
+        pltpu.make_async_copy(lane_slice(igt_hbm, shared_g), igt_vmem,
+                              sems.at[1]),
+        pltpu.make_async_copy(lane_slice(s21_hbm, shared_eq), s21_vmem,
+                              sems.at[2]),
+        pltpu.make_async_copy(lane_slice(w_hbm, shared_eq), w_vmem,
+                              sems.at[3]),
+        pltpu.make_async_copy(lane_slice(is11_hbm, shared_eq), is11_vmem,
+                              sems.at[4]),
+        pltpu.make_async_copy(lane_slice(s11_hbm, shared_eq), s11_vmem,
+                              sems.at[5]),
+        pltpu.make_async_copy(lane_slice(iat_hbm, shared_eq), iat_vmem,
+                              sems.at[6]),
+    ]
+    for cp in copies:
+        cp.start()
+    _write_eye(u_vmem, m_p, m_p, bt, x_ref.dtype)
+    cp_r.wait()
+    if shared_r:
+        u_vmem[:, 0:m_p, :] = jnp.broadcast_to(
+            r1_vmem[...], (m_p, m_p, bt))
+    for cp in copies[1:]:   # eq operands are needed before the solve
+        cp.wait()
+
+    dtype = x_ref.dtype
+    x = x_ref[...]
+    s = s_ref[...]
+    z = z_ref[...]
+    y = y_ref[...]                                    # (neq, BT)
+    d = z / s
+    dinv = s / z
+
+    def padm(v):
+        return jnp.pad(v, ((0, m_p - m), (0, 0))) if m_p != m else v
+
+    def padq(v):
+        return (jnp.pad(v, ((0, neq_p - neq), (0, 0)))
+                if neq_p != neq else v)
+
+    zp = padm(z)
+    # r1 = rb + S21^T z + S11 y;  u = S11^-1 (-r1)
+    s21t_z = _mtv_slabs(lambda k0, r: s21_vmem[k0:k0 + r, :, :], z, m,
+                        neq_p, bt, dtype)[:neq]
+    s11_y = _mv_slabs(lambda k0, r: s11_vmem[k0:k0 + r, :, :], padq(y),
+                      neq)
+    r1 = rb_ref[...] + s21t_z + s11_y
+    u = _mv_slabs(lambda k0, r: is11_vmem[k0:k0 + r, :, :], padq(-r1),
+                  neq)
+    # W z and the RHS correction S21 (Wz + y + u)
+    wz = _mv_slabs(lambda k0, r: w_vmem[k0:k0 + r, :, :], zp, neq)
+    v_eq = padq(wz + y + u)
+    s21_v = _mv_slabs(lambda k0, r: s21_vmem[k0:k0 + r, :, :], v_eq, m)
+    rz_rows = [jnp.sum(u_vmem[k0:k0 + min(SUB, m - k0), 0:m_p, :]
+                       * zp[None], axis=1)
+               for k0 in range(0, m, SUB)]
+    rhs_a = q_ref[...] - s21_v - jnp.concatenate(rz_rows, axis=0)[:m]
+
+    dinv_pad = jnp.pad(dinv, ((0, m_p - m), (0, 0)),
+                       constant_values=1.0) if m_p != m else dinv
+    _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt)
+
+    def apply_T(rhs):
+        return _inv_apply(
+            lambda k0, rows: u_vmem[k0:k0 + rows, m_p:, :], rhs, m, m_p)
+
+    def w_apply(dzv):
+        return _mv_slabs(lambda k0, r: w_vmem[k0:k0 + r, :, :],
+                         padm(dzv), neq)
+
+    # Predictor.
+    dz_a = apply_T(rhs_a)
+    dy_a = u - w_apply(dz_a)
+    ds_a = (-z - dz_a) / d
+    one = jnp.ones_like(d[0:1, :])
+    alpha = jnp.minimum(
+        jnp.minimum(_step_lanes(z, dz_a), _step_lanes(s, ds_a)), one)
+    t2 = jnp.sum(s * z, axis=0, keepdims=True)
+    t1 = jnp.sum((s + alpha * ds_a) * (z + alpha * dz_a), axis=0,
+                 keepdims=True)
+    sig = (t1 / t2) ** 3
+    mu = jnp.abs(t2) / m
+
+    rs_c = (-(mu * sig) + ds_a * dz_a) / s
+    dz_c = apply_T(-(rs_c / d))
+    ds_c = (-rs_c - dz_c) / d
+    dz = dz_a + dz_c
+    ds = ds_a + ds_c
+    dy = dy_a - w_apply(dz_c)
+
+    for _ in range(n_correctors):
+        a_g = jnp.minimum(
+            jnp.minimum(_step_lanes(z, dz), _step_lanes(s, ds)), one)
+        a_t = jnp.minimum(1.08 * a_g + 0.08, one)
+        v = (s + a_t * ds) * (z + a_t * dz)
+        mu_t = sig * mu
+        rs_g = (v - jnp.clip(v, 0.1 * mu_t, 10.0 * mu_t)) / s
+        ddz = apply_T(-(rs_g / d))
+        dds = (-rs_g - ddz) / d
+        dz_n, ds_n = dz + ddz, ds + dds
+        a_n = jnp.minimum(
+            jnp.minimum(_step_lanes(z, dz_n), _step_lanes(s, ds_n)), one)
+        acc = a_n > a_g
+        dz = jnp.where(acc, dz_n, dz)
+        ds = jnp.where(acc, ds_n, ds)
+        dy = jnp.where(acc, dy - w_apply(ddz), dy)
+
+    # dx = -(x + Q^-1 p) - Q^-1 G^T (z+dz) - Q^-1 A^T (y+dy)
+    cp_g = copies[0]
+    cp_g.wait()
+    igt_zdz = _mv_slabs(lambda k0, r: igt_vmem[k0:k0 + r, :, :],
+                        padm(z + dz), nz)
+    iat_ydy = _mv_slabs(lambda k0, r: iat_vmem[k0:k0 + r, :, :],
+                        padq(y + dy), nz)
+    dx = -(x + ip_ref[...]) - igt_zdz - iat_ydy
+
+    alpha2 = jnp.minimum(
+        0.999 * jnp.minimum(_step_lanes(z, dz), _step_lanes(s, ds)), one)
+    bad = (jnp.max(jnp.where(jnp.isnan(dz) | jnp.isnan(ds), 1.0, 0.0),
+                   axis=0, keepdims=True)
+           + jnp.max(jnp.where(jnp.isnan(dx), 1.0, 0.0), axis=0,
+                     keepdims=True)
+           + jnp.max(jnp.where(jnp.isnan(dy), 1.0, 0.0), axis=0,
+                     keepdims=True))
+    alpha2 = jnp.where(bad > 0, 0.0, alpha2)
+    xo_ref[...] = x + alpha2 * dx
+    so_ref[...] = s + alpha2 * ds
+    zo_ref[...] = z + alpha2 * dz
+    yo_ref[...] = y + alpha2 * dy
+
+
 def _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt):
     """_chol_inv_inplace with dinv given as a padded (m_p, BT) value
     instead of a ref."""
@@ -778,11 +952,89 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
     )(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t)
 
 
-def ipm_step_supported(nz: int, m: int, B: int) -> bool:
-    """VMEM feasibility of the fused step: [T | G] buffer + Q^-1 G^T."""
+def ipm_step_supported(nz: int, m: int, B: int, neq: int = 0) -> bool:
+    """VMEM feasibility of the fused step: [T | G] buffer + Q^-1 G^T
+    (+ the equality-constraint operands S21/W/S11/S11^-1/Q^-1 A^T)."""
     m_p, nz_p = pad_up(max(m, 1)), pad_up(max(nz, 1))
     bt = min(pad_batch_lanes(B), 128)
-    return (2 * m_p * m_p + nz_p * m_p) * bt * 4 <= _VMEM_BUDGET
+    words = 2 * m_p * m_p + nz_p * m_p
+    if neq > 0:
+        q_p = pad_up(neq)
+        words += 2 * m_p * q_p + nz_p * q_p + 2 * q_p * q_p
+    return words * bt * 4 <= _VMEM_BUDGET
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_correctors", "interpret"))
+def ipm_step_eq_lanes(R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
+                      x_t, s_t, z_t, y_t, q_t, ip_t, rb_t, *,
+                      n_correctors: int = 0, interpret: bool | None = None):
+    """One fused IPM iteration with equality constraints. Lanes layout:
+    R_t (m_p, m_p, bR); iGT_t (nz_p, m_p, bG); S21_t (m_p, neq_p, bE);
+    W_t (neq_p, m_p, bE); iS11_t/S11_t (neq_p, neq_p, bE);
+    iAT_t (nz_p, neq_p, bE); vectors x (nz, B), s/z/q (m, B),
+    y/rb (neq, B), ip (nz, B). Returns (x', s', z', y')."""
+    if interpret is None:
+        interpret = _default_interpret()
+    m, B = s_t.shape
+    nz = x_t.shape[0]
+    neq = y_t.shape[0]
+    m_p, nz_p, neq_p = R_t.shape[0], iGT_t.shape[0], W_t.shape[0]
+    bt = pick_bt(B)
+    shared_r = R_t.shape[-1] == 1
+    shared_g = iGT_t.shape[-1] == 1
+    shared_eq = S21_t.shape[-1] == 1
+    whole = bt == B
+
+    def kernel(r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm, iat_hbm,
+               x_ref, s_ref, z_ref, y_ref, q_ref, ip_ref, rb_ref,
+               xo_ref, so_ref, zo_ref, yo_ref,
+               u_vmem, igt_vmem, s21_vmem, w_vmem, is11_vmem, s11_vmem,
+               iat_vmem, sems, *scr):
+        _ipm_step_eq_kernel(
+            r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm, iat_hbm,
+            x_ref, s_ref, z_ref, y_ref, q_ref, ip_ref, rb_ref,
+            xo_ref, so_ref, zo_ref, yo_ref,
+            u_vmem, igt_vmem, s21_vmem, w_vmem, is11_vmem, s11_vmem,
+            iat_vmem, sems, nz=nz, nz_p=nz_p, m=m, m_p=m_p, neq=neq,
+            neq_p=neq_p, bt=bt, whole=whole, shared_r=shared_r,
+            shared_g=shared_g, shared_eq=shared_eq,
+            n_correctors=n_correctors, r1_vmem=scr[0] if scr else None)
+
+    vec = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i),  # noqa
+                                    memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pltpu.ANY)
+    be = 1 if shared_eq else bt
+    scratch = [
+        pltpu.VMEM((m_p, 2 * m_p, bt), x_t.dtype),
+        pltpu.VMEM((nz_p, m_p, 1 if shared_g else bt), x_t.dtype),
+        pltpu.VMEM((m_p, neq_p, be), x_t.dtype),
+        pltpu.VMEM((neq_p, m_p, be), x_t.dtype),
+        pltpu.VMEM((neq_p, neq_p, be), x_t.dtype),
+        pltpu.VMEM((neq_p, neq_p, be), x_t.dtype),
+        pltpu.VMEM((nz_p, neq_p, be), x_t.dtype),
+        pltpu.SemaphoreType.DMA((7,)),
+    ]
+    if shared_r:
+        scratch.append(pltpu.VMEM((m_p, m_p, 1), x_t.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[any_] * 7 + [vec(nz), vec(m), vec(m), vec(neq), vec(m),
+                               vec(nz), vec(neq)],
+        out_specs=[vec(nz), vec(m), vec(m), vec(neq)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, B), x_t.dtype),
+            jax.ShapeDtypeStruct((m, B), x_t.dtype),
+            jax.ShapeDtypeStruct((m, B), x_t.dtype),
+            jax.ShapeDtypeStruct((neq, B), x_t.dtype),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
+      x_t, s_t, z_t, y_t, q_t, ip_t, rb_t)
 
 
 # ---------------------------------------------------------------------------

@@ -15,15 +15,20 @@ from qpth_tpu.ops import kkt as kkt_ops
 from conftest import make_feasible_qp
 
 
+@pytest.mark.parametrize("neq", [0, 3])
 @pytest.mark.parametrize("shared", [False, True])
 @pytest.mark.parametrize("n_correctors", [0, 2])
-def test_fused_step_matches_composed(rng, n_correctors, shared,
+def test_fused_step_matches_composed(rng, n_correctors, shared, neq,
                                      monkeypatch):
-    Q, p, G, h, _, _ = make_feasible_qp(rng, nz=9, nineq=7, neq=0,
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=9, nineq=7, neq=neq,
                                         nbatch=8)
     if shared:   # OptNet-layer pattern: shared Q/G/h, batched p
         G, h = G[0], h[0]  # (Q from the fixture is already unbatched)
+        if neq:
+            A, b = A[0], b[0]
     args = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
+    if neq:
+        args += [jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)]
     cfg = qpth_tpu.SolverConfig(use_pallas=True, max_iter=6,
                                 n_correctors=n_correctors)
 
@@ -43,4 +48,6 @@ def test_fused_step_matches_composed(rng, n_correctors, shared,
                         atol=2e-4, rtol=1e-3)
     npt.assert_allclose(np.asarray(sol_f.s), np.asarray(sol_c.s),
                         atol=2e-4, rtol=1e-3)
+    npt.assert_allclose(np.asarray(sol_f.nu), np.asarray(sol_c.nu),
+                        atol=2e-3, rtol=1e-2)
     assert int(sol_f.stats.iterations) == int(sol_c.stats.iterations)
