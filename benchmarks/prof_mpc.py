@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--nz", type=int, default=50)
     ap.add_argument("--nineq", type=int, default=50)
+    ap.add_argument("--neq", type=int, default=0)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--drift", type=float, default=0.02)
     args = ap.parse_args()
@@ -51,6 +52,11 @@ def main():
     z0 = npr.randn(B, n).astype(np.float32)
     s0 = npr.rand(B, m).astype(np.float32)
     h = np.einsum("bmn,bn->bm", G, z0) + s0
+    if args.neq:
+        A = npr.randn(B, args.neq, n).astype(np.float32)
+        beq = np.einsum("bmn,bn->bm", A, z0).astype(np.float32)
+    else:
+        A = beq = None
     p = npr.randn(B, n).astype(np.float32)
     drift = args.drift * npr.randn(args.steps, B, n).astype(np.float32)
 
@@ -58,14 +64,16 @@ def main():
     # warm starts actually terminate early (see SolverConfig docs).
     cfg = qpth_tpu.SolverConfig(check_Q_spd=False, improve_margin=1e-3)
     jQ, jG, jh = jnp.asarray(Q), jnp.asarray(G), jnp.asarray(h)
+    jA = jnp.asarray(A) if A is not None else None
+    jb = jnp.asarray(beq) if beq is not None else None
 
     @jax.jit
     def solve_cold(p_):
-        return qpth_tpu.solve_qp_full(jQ, p_, jG, jh, config=cfg)
+        return qpth_tpu.solve_qp_full(jQ, p_, jG, jh, jA, jb, config=cfg)
 
     @jax.jit
     def solve_warm(p_, init):
-        return qpth_tpu.solve_qp_full(jQ, p_, jG, jh, config=cfg,
+        return qpth_tpu.solve_qp_full(jQ, p_, jG, jh, jA, jb, config=cfg,
                                       init=init)
 
     def horizon(warm: bool):

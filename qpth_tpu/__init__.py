@@ -8,11 +8,12 @@ problem parameters, designed TPU-first — pivot-free Cholesky KKT algebra,
 device meshes, and Pallas kernels for the hot factor/solve path.
 """
 
-from . import nn, parallel, solvers, sparse, utils  # noqa: F401
+from . import nn, parallel, profiling, solvers, sparse, utils  # noqa: F401
 from .config import (KKTSolver, QPSolution, QPSolvers,  # noqa: F401
                      SolverConfig, SolveStats)
 from .qp import (DEFAULT_CONFIG, QPFunction, solve_qp,  # noqa: F401
                  solve_qp_full)
+from .core.single import solve_single  # noqa: F401
 from .sparse import SpQPFunction  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
