@@ -51,6 +51,9 @@ def chained_time(op, args, reps=17, trials=3):
 
 
 def report(name, secs, gbytes, gflop):
+    if secs < 2e-5:  # below the tunnel measurement floor — don't report
+        print(f"{name:38s}  <0.020 ms  (below measurement noise floor)")
+        return
     bw = gbytes / secs
     fl = gflop / secs
     frac = bw / HBM_GBPS
@@ -110,6 +113,24 @@ def main(B=4096, n=100):
         (Rb, vb))
     report("XLA batched matvec (B,n,n)@(B,n)", t, B * n * n * 4 / 1e9,
            B * 2 * n * n * 1e-9)
+
+    # Fused whole-IPM-step kernel: factor + inverse + R z + both solves +
+    # step logic; reads R and Q^-1 G^T once (G never leaves VMEM).
+    from qpth_tpu.ops.pallas.lanes import ipm_step_lanes
+
+    iGT = jax.block_until_ready(
+        jax.jit(lambda r: pad_spd_lanes(jnp.transpose(r, (1, 2, 0))))(
+            jnp.matmul(R, R) * (0.01 / n)))
+    s0v = jax.block_until_ready(
+        jax.random.uniform(key, (n, B), jnp.float32) + 0.5)
+    t = chained_time(
+        lambda R_t, v: ipm_step_lanes(
+            R_t, iGT, v, s0v + 1e-9 * v**2, s0v, v * 0.1, v * 0.0)[0],
+        (R_t, v0))
+    step_flop = (chol_flop + inv_flop + 3 * solve_flop
+                 + 2 * B * 2 * n * n * 1e-9)
+    report("ipm_step_lanes (whole IPM iteration)", t, 2 * mat_bytes / 1e9,
+           step_flop)
 
 
 if __name__ == "__main__":
