@@ -28,6 +28,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 REF_BATCH = int(os.environ.get("BENCH_REF_BATCH", 64))
 TRIALS = int(os.environ.get("BENCH_TRIALS", 5))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 6))
+#: "fwd" (headline: forward solves/sec) or "fwdbwd" (training step:
+#: forward + implicit-KKT backward to all params per rep).
+MODE = os.environ.get("BENCH_MODE", "fwd")
 
 
 def make_problem(nbatch, nz, nineq, seed=0):
@@ -67,6 +70,27 @@ def bench_ours():
     # factorization pipeline cannot be hoisted out of the loop — every
     # rep pays the full solve including pre_factor_kkt.
     def chained(reps):
+        if MODE == "fwdbwd":
+            # Training-step workload: forward solve + implicit-KKT
+            # backward to (Q, p) per rep (the OptNet use case — backward
+            # cost is one extra KKT solve, reference qp.py:148-155).
+            def loss(QQ, pp, G, h):
+                z = qpth_tpu.solve_qp(QQ, pp, G, h, config=cfg)
+                return jnp.sum(z * z), z
+
+            glove = jax.grad(loss, argnums=(0, 1), has_aux=True)
+
+            @jax.jit
+            def run(Q, p, G, h):
+                def body(i, carry):
+                    QQ, pp, _ = carry
+                    (gQ, gp), z = glove(QQ, pp, G, h)
+                    scale = 1.0 + 1e-12 * jnp.tanh(jnp.mean(gQ))
+                    return QQ * scale, pp + 1e-9 * gp, z[:, 0]
+                return lax.fori_loop(0, reps, body,
+                                     (Q, p, jnp.zeros((BATCH,), dt)))
+            return run
+
         @jax.jit
         def run(Q, p, G, h):
             def body(i, carry):
@@ -114,13 +138,21 @@ def bench_reference():
     t = lambda x: torch.tensor(
         x, dtype=torch.float64, device="cuda" if cuda else "cpu")
     e = torch.tensor([])
-    args = [t(Q), t(p), t(G), t(h), e, e]
+    grad = MODE == "fwdbwd"
+    args = [t(Q).requires_grad_(grad), t(p).requires_grad_(grad),
+            t(G), t(h), e, e]
     f = QPFunction(verbose=-1, check_Q_spd=False)
-    f(*args)  # warmup
+
+    def once():
+        z = f(*args)
+        if grad:
+            (z * z).sum().backward()
+
+    once()  # warmup
     times = []
     for _ in range(max(2, TRIALS // 2)):
         t0 = time.perf_counter()
-        f(*args)
+        once()
         times.append(time.perf_counter() - t0)
     return REF_BATCH / min(times)
 
@@ -129,9 +161,10 @@ def main():
     qps, max_resid, secs = bench_ours()
     ref_qps = bench_reference()
     vs = (qps / ref_qps) if ref_qps else -1.0
+    kind = "fwd+bwd" if MODE == "fwdbwd" else "fwd"
     print(json.dumps({
         "metric": f"batched QPs solved/sec (nz={NZ}, nineq={NINEQ}, "
-                  f"batch={BATCH}, fwd, f32)",
+                  f"batch={BATCH}, {kind}, f32)",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(vs, 2),

@@ -76,14 +76,27 @@ def main():
         return qpth_tpu.solve_qp_full(jQ, p_, jG, jh, jA, jb, config=cfg,
                                       init=init)
 
-    def horizon(warm: bool):
+    # Q/G/A are fixed across the horizon: pre-factor ONCE and reuse the
+    # cached factors every step (prefactor_qp — the factorization-as-
+    # cached-artifact contract, reference qp.py:93, as a user API).
+    factors = qpth_tpu.prefactor_qp(jQ, jG, jA, config=cfg)
+
+    @jax.jit
+    def solve_cached(p_, init, factors):
+        return qpth_tpu.solve_qp_full(jQ, p_, jG, jh, jA, jb, config=cfg,
+                                      init=init, factors=factors)
+
+    def horizon(mode: str):
         p_ = jnp.asarray(p)
         sol = solve_cold(p_)
         jax.block_until_ready(sol.z)
         iters, t0 = [], time.perf_counter()
         for t in range(args.steps):
             p_ = p_ + jnp.asarray(drift[t])
-            if warm:
+            if mode == "cached":
+                sol = solve_cached(p_, (sol.z, sol.s, sol.lam, sol.nu),
+                                   factors)
+            elif mode == "warm":
                 sol = solve_warm(p_, (sol.z, sol.s, sol.lam, sol.nu))
             else:
                 sol = solve_cold(p_)
@@ -93,15 +106,20 @@ def main():
         resid = float(np.asarray(sol.stats.best_resids).max())
         return iters, wall, resid
 
-    horizon(True)  # compile both paths
-    it_c, t_c, r_c = horizon(False)
-    it_w, t_w, r_w = horizon(True)
-    print(f"cold : iters/step {np.mean(it_c):5.1f}  wall {t_c:6.2f}s  "
-          f"max resid {r_c:.2e}")
-    print(f"warm : iters/step {np.mean(it_w):5.1f}  wall {t_w:6.2f}s  "
-          f"max resid {r_w:.2e}")
+    for mode in ("cold", "warm", "cached"):  # compile all paths
+        horizon(mode)
+    it_c, t_c, r_c = horizon("cold")
+    it_w, t_w, r_w = horizon("warm")
+    it_f, t_f, r_f = horizon("cached")
+    print(f"cold          : iters/step {np.mean(it_c):5.1f}  wall "
+          f"{t_c:6.2f}s  max resid {r_c:.2e}")
+    print(f"warm          : iters/step {np.mean(it_w):5.1f}  wall "
+          f"{t_w:6.2f}s  max resid {r_w:.2e}")
+    print(f"warm+prefactor: iters/step {np.mean(it_f):5.1f}  wall "
+          f"{t_f:6.2f}s  max resid {r_f:.2e}")
     print(f"warm-start speedup: {t_c / t_w:.2f}x "
           f"({np.mean(it_c) / max(np.mean(it_w), 1e-9):.2f}x fewer iters)")
+    print(f"warm+prefactor speedup vs cold: {t_c / t_f:.2f}x")
 
 
 if __name__ == "__main__":

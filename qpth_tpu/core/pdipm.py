@@ -37,6 +37,15 @@ from ..ops import kkt as kkt_ops
 from ..utils import bdiag
 
 
+def _runtime_supports_callbacks() -> bool:
+    """Whether jax.debug.print works on the default backend (the axon
+    PJRT tunnel rejects host send/recv callbacks entirely)."""
+    try:
+        return "axon" not in jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+
+
 def _greduce(val, op, axis_name):
     """Finish a batch reduction globally when running under shard_map."""
     if axis_name is None:
@@ -95,6 +104,13 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     neq = A.shape[-2] if A is not None else 0
     dtype = p.dtype
     axis = config.axis_name
+
+    # Dtype-aware plateau margin (see SolverConfig.improve_margin): strict
+    # 0 at f64 for reference parity; 1e-3 below f64, where noise-level
+    # "improvements" would otherwise reset the counter every iteration.
+    improve_margin = config.improve_margin
+    if improve_margin is None:
+        improve_margin = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-3
 
     backend = kkt_ops.resolve_backend(config.use_pallas, dtype,
                                       m=nineq, B=B)
@@ -285,7 +301,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         x, s, z, y = st.x, st.s, st.z, st.y
         rx, rz, ry, mu, resids, pri, dual = residuals(x, s, z, y)
 
-        if config.verbose == 1:
+        if config.verbose >= 1 and _runtime_supports_callbacks():
             jax.debug.print(
                 "iter: {i}, pri_resid: {p:.5e}, dual_resid: {d:.5e}, "
                 "mu: {m:.5e}",
@@ -296,7 +312,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         # SolverConfig.improve_margin); best-iterate tracking itself stays
         # strict so the returned solution is always the true best.
         improved_strict = resids < st.best_resids
-        improved = resids < st.best_resids * (1.0 - config.improve_margin)
+        improved = resids < st.best_resids * (1.0 - improve_margin)
         best_resids = jnp.where(improved_strict, resids, st.best_resids)
         imp_col = improved_strict[:, None]
         best_x = jnp.where(imp_col, x, st.best_x)
@@ -402,13 +418,17 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                         | jnp.isnan(dz).any(-1))
             if neq > 0:
                 lane_bad = lane_bad | jnp.isnan(dy).any(-1)
-            alpha = jnp.where(lane_bad, 0.0, alpha)[:, None]
-
-            x = x + alpha * dx
-            s = s + alpha * ds
-            z = z + alpha * dz
+            # Zero both alpha AND the directions for bad lanes: 0 * NaN is
+            # NaN, so masking alpha alone would permanently poison the
+            # lane's running iterate; with the directions masked too a
+            # transiently bad lane resumes on the next iteration.
+            mask = lane_bad[:, None]
+            alpha = jnp.where(mask, 0.0, alpha[:, None])
+            x = x + alpha * jnp.where(mask, 0.0, dx)
+            s = s + alpha * jnp.where(mask, 0.0, ds)
+            z = z + alpha * jnp.where(mask, 0.0, dz)
             if neq > 0:
-                y = y + alpha * jnp.where(lane_bad[:, None], 0.0, dy)
+                y = y + alpha * jnp.where(mask, 0.0, dy)
             return x, s, z, y
 
         x, s, z, y = lax.cond(done, lambda a: a, do_step, (x, s, z, y))
@@ -423,10 +443,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     final = lax.while_loop(cond_fn, body_fn, state)
 
     # The reference prints INACC_ERR when the best residual exceeds 1
-    # (batch.py:141-142, 205-206). Host callbacks are not supported on all
-    # TPU runtimes, so the jit-friendly signal is stats.best_resids /
-    # stats.converged; the printed warning is opt-in at verbose >= 1.
-    if config.verbose >= 1:
+    # unless silenced with verbose < 0 (batch.py:141-142, 205-206) — same
+    # gate here. Runtimes without host-callback support (the axon TPU
+    # tunnel) cannot debug.print at all; there the jit-friendly signal is
+    # stats.best_resids / stats.converged.
+    if config.verbose >= 0 and _runtime_supports_callbacks():
         max_best = _greduce(final.best_resids.max(), "max", axis)
         lax.cond(
             max_best > 1.0,

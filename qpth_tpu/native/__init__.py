@@ -61,6 +61,10 @@ def _load():
                 + [ctypes.POINTER(ctypes.c_double)] * 6
                 + [ctypes.c_double, ctypes.c_int]
                 + [ctypes.POINTER(ctypes.c_double)] * 4)
+            lib.qp_solve_batch_status.restype = ctypes.c_int
+            lib.qp_solve_batch_status.argtypes = (
+                lib.qp_solve_batch.argtypes
+                + [ctypes.POINTER(ctypes.c_int)])
             _lib = lib
     return _lib
 
@@ -70,9 +74,14 @@ def is_available() -> bool:
 
 
 def solve_qp_batch_native(Q, p, G, h, A=None, b=None, tol=1e-11,
-                          max_iter=100):
+                          max_iter=100, return_status: bool = False):
     """Batched native solve. Matrix params may have batch dim 1 (shared) or
-    B; p/h/b must be (B, .). Returns (x, nu, lam, s) float64 arrays.
+    B; p/h/b must be (B, .). Returns (x, nu, lam, s) float64 arrays — or,
+    with ``return_status=True``, (x, nu, lam, s, status) where status is a
+    per-lane int array (0 = converged, 1 = max_iter best-effort, -1 =
+    numerical failure). Failed lanes come back NaN-filled; healthy lanes
+    are unaffected (per-lane isolation — one infeasible instance in a
+    debugging batch must not mask the others' solutions).
 
     Falls back to the numpy oracle if the native library is unavailable.
     """
@@ -83,7 +92,8 @@ def solve_qp_batch_native(Q, p, G, h, A=None, b=None, tol=1e-11,
         from ..solvers.oracle import solve_qp_batch_np
 
         return solve_qp_batch_np(Q, p, G, h, A, b, tol=tol,
-                                 max_iter=max_iter)
+                                 max_iter=max_iter,
+                                 return_status=return_status)
 
     def canon(M, rank):
         M = np.asarray(M, np.float64)
@@ -114,12 +124,13 @@ def solve_qp_batch_native(Q, p, G, h, A=None, b=None, tol=1e-11,
     lam = np.empty((B, m))
     s = np.empty((B, m))
 
+    status = np.empty((B,), dtype=np.int32)
     ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-    failures = lib.qp_solve_batch(
+    lib.qp_solve_batch_status(
         B, n, m, neq, Q.shape[0], G.shape[0], A.shape[0],
         ptr(Q), ptr(p), ptr(G), ptr(h), ptr(A), ptr(b),
         ctypes.c_double(tol), int(max_iter),
-        ptr(x), ptr(y), ptr(lam), ptr(s))
-    if failures:
-        raise RuntimeError(f"native oracle: {failures} lanes failed")
-    return x, y[:, :neq], lam, s
+        ptr(x), ptr(y), ptr(lam), ptr(s),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    out = (x, y[:, :neq], lam, s)
+    return out + (status,) if return_status else out

@@ -199,16 +199,29 @@ int qp_solve(int n, int m, int neq, const double* Q, const double* p,
     for (int r = 0; r < neq; ++r) y[r] += a * dy2[r];
   }
   std::memcpy(lam, z.data(), sizeof(double) * m);
+  // Non-finite iterates (overflow on infeasible/degenerate instances)
+  // count as numerical failure, not best-effort.
+  for (int i = 0; i < n; ++i)
+    if (!std::isfinite(x[i])) return -1;
+  for (int r = 0; r < m; ++r)
+    if (!std::isfinite(lam[r]) || !std::isfinite(s[r])) return -1;
+  for (int r = 0; r < neq; ++r)
+    if (!std::isfinite(y[r])) return -1;
   return status;
 }
 
 // Batched entry point: arrays have leading batch dims (bQ, bG, bA in {1, B}
-// for matrix params; p/h/b at full B). Returns number of failed lanes.
-int qp_solve_batch(int B, int n, int m, int neq, int bQ, int bG, int bA,
-                   const double* Q, const double* p, const double* G,
-                   const double* h, const double* A, const double* b,
-                   double tol, int max_iter, double* x, double* y,
-                   double* lam, double* s) {
+// for matrix params; p/h/b at full B). Failed lanes are isolated: their
+// outputs are NaN-filled (and flagged in `status` when non-null) while
+// every healthy lane still gets its solution — one infeasible instance
+// must not take down the batch (contrast the reference's whole-batch
+// try/except bail-out, batch.py:110-113). Returns number of failed lanes.
+int qp_solve_batch_status(int B, int n, int m, int neq, int bQ, int bG,
+                          int bA, const double* Q, const double* p,
+                          const double* G, const double* h, const double* A,
+                          const double* b, double tol, int max_iter,
+                          double* x, double* y, double* lam, double* s,
+                          int* status) {
   int failures = 0;
   // Lanes are independent QPs; parallelize across host cores (the analog
   // of the reference batching its CVXPY fallback, which it never did —
@@ -223,9 +236,29 @@ int qp_solve_batch(int B, int n, int m, int neq, int bQ, int bG, int bA,
                       neq ? b + (size_t)i * neq : nullptr, tol, max_iter,
                       x + (size_t)i * n, y + (size_t)i * neq,
                       lam + (size_t)i * m, s + (size_t)i * m);
-    if (rc < 0) ++failures;
+    if (rc < 0) {
+      ++failures;
+      const double qnan = std::nan("");
+      for (int c = 0; c < n; ++c) x[(size_t)i * n + c] = qnan;
+      for (int r = 0; r < neq; ++r) y[(size_t)i * neq + r] = qnan;
+      for (int r = 0; r < m; ++r) {
+        lam[(size_t)i * m + r] = qnan;
+        s[(size_t)i * m + r] = qnan;
+      }
+    }
+    if (status) status[i] = rc;
   }
   return failures;
+}
+
+// Back-compat wrapper without the per-lane status array.
+int qp_solve_batch(int B, int n, int m, int neq, int bQ, int bG, int bA,
+                   const double* Q, const double* p, const double* G,
+                   const double* h, const double* A, const double* b,
+                   double tol, int max_iter, double* x, double* y,
+                   double* lam, double* s) {
+  return qp_solve_batch_status(B, n, m, neq, bQ, bG, bA, Q, p, G, h, A, b,
+                               tol, max_iter, x, y, lam, s, nullptr);
 }
 
 }  // extern "C"

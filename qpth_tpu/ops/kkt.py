@@ -422,6 +422,8 @@ def resolve_prefactor_modes(config, dtype=None) -> dict:
     use_pallas = config.use_pallas
     if dtype is not None and np.dtype(dtype) != np.float32:
         use_pallas = False  # Pallas kernels are float32-only
+    if use_pallas == "xla":
+        use_pallas = False  # explicit XLA escape hatch: no Pallas anywhere
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     method = config.solve_method

@@ -70,13 +70,25 @@ def pad_batch_lanes(B: int) -> int:
 _VMEM_BUDGET = 19 * 1024 * 1024
 
 
+def _support_bt(B: int) -> int:
+    """Lane-tile size the kernel will actually run with. On hardware every
+    batch is padded to a multiple of 128 lanes (pallas_lanes_backend's
+    _padded_B), so bt is always 128 there even for tiny B; only interpret
+    mode (CPU tests) runs unpadded."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return 128
+    return min(pad_batch_lanes(B), 128)
+
+
 def lanes_supported(m: int, B: int) -> bool:
     """Whether the lanes kernels fit VMEM for this problem size. The
-    [T | G] working buffer is (m_p, 2 m_p, bt) f32 with bt = min(B', 128);
-    beyond m ~ 136 (at full lane tiles) it cannot fit and callers must
-    fall back to the XLA path."""
+    [T | G] working buffer is (m_p, 2 m_p, bt) f32 with bt the real lane
+    tile (128 on hardware — see _support_bt); beyond m ~ 136 it cannot fit
+    and callers must fall back to the XLA path."""
     m_p = pad_up(max(m, 1))
-    bt = min(pad_batch_lanes(B), 128)
+    bt = _support_bt(B)
     return 2 * m_p * m_p * bt * 4 <= _VMEM_BUDGET
 
 
@@ -700,10 +712,13 @@ def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
                    axis=0, keepdims=True)
            + jnp.max(jnp.where(jnp.isnan(dx), 1.0, 0.0), axis=0,
                      keepdims=True))
-    alpha2 = jnp.where(bad > 0, 0.0, alpha2)
-    xo_ref[...] = x + alpha2 * dx
-    so_ref[...] = s + alpha2 * ds
-    zo_ref[...] = z + alpha2 * dz
+    # Freeze bad lanes by masking alpha AND the directions (0 * NaN = NaN
+    # would otherwise poison the lane's running state permanently).
+    frozen = bad > 0
+    alpha2 = jnp.where(frozen, 0.0, alpha2)
+    xo_ref[...] = x + alpha2 * jnp.where(frozen, 0.0, dx)
+    so_ref[...] = s + alpha2 * jnp.where(frozen, 0.0, ds)
+    zo_ref[...] = z + alpha2 * jnp.where(frozen, 0.0, dz)
 
 
 def _mv_slabs(read, v_pad, out_n):
@@ -873,11 +888,13 @@ def _ipm_step_eq_kernel(r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm,
                      keepdims=True)
            + jnp.max(jnp.where(jnp.isnan(dy), 1.0, 0.0), axis=0,
                      keepdims=True))
-    alpha2 = jnp.where(bad > 0, 0.0, alpha2)
-    xo_ref[...] = x + alpha2 * dx
-    so_ref[...] = s + alpha2 * ds
-    zo_ref[...] = z + alpha2 * dz
-    yo_ref[...] = y + alpha2 * dy
+    # Mask alpha AND directions: see _ipm_step_kernel's freeze comment.
+    frozen = bad > 0
+    alpha2 = jnp.where(frozen, 0.0, alpha2)
+    xo_ref[...] = x + alpha2 * jnp.where(frozen, 0.0, dx)
+    so_ref[...] = s + alpha2 * jnp.where(frozen, 0.0, ds)
+    zo_ref[...] = z + alpha2 * jnp.where(frozen, 0.0, dz)
+    yo_ref[...] = y + alpha2 * jnp.where(frozen, 0.0, dy)
 
 
 def _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt):
@@ -956,7 +973,7 @@ def ipm_step_supported(nz: int, m: int, B: int, neq: int = 0) -> bool:
     """VMEM feasibility of the fused step: [T | G] buffer + Q^-1 G^T
     (+ the equality-constraint operands S21/W/S11/S11^-1/Q^-1 A^T)."""
     m_p, nz_p = pad_up(max(m, 1)), pad_up(max(nz, 1))
-    bt = min(pad_batch_lanes(B), 128)
+    bt = _support_bt(B)
     words = 2 * m_p * m_p + nz_p * m_p
     if neq > 0:
         q_p = pad_up(neq)

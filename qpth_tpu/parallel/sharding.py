@@ -85,11 +85,12 @@ def solve_qp_sharded(Q, p, G, h, A=None, b=None, *,
         args += [Ab, bb]
 
         def local(Qs, ps, Gs, hs, As, bs):
-            return _qp_core(Qs, ps, Gs, hs, As, bs, None, cfg, meta)
+            return _qp_core(Qs, ps, Gs, hs, As, bs, None, None, cfg, meta)
     else:
 
         def local(Qs, ps, Gs, hs):
-            return _qp_core(Qs, ps, Gs, hs, None, None, None, cfg, meta)
+            return _qp_core(Qs, ps, Gs, hs, None, None, None, None, cfg,
+                            meta)
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(axis),
                    check_vma=False)

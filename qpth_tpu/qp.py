@@ -75,8 +75,15 @@ def _canonicalize(Q, p, G, h, A, b):
 # ---------------------------------------------------------------------------
 
 def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
-                     init=None) -> QPSolution:
-    """Forward solve on canonically-batched params."""
+                     init=None, factors=None):
+    """Forward solve on canonically-batched params.
+
+    Returns ``(solution, factors)`` where ``factors`` is the one-time
+    KKT pre-factorization actually used (None for the oracle path) — the
+    caller shares it with the backward pass and/or across receding-horizon
+    re-solves instead of recomputing it (the reference caches Q_LU/S_LU/R
+    on ctx, qp.py:93).
+    """
     if config.check_Q_spd:
         spd_check_eager(Qb)
     if Gb.shape[-2] == 0:
@@ -85,12 +92,14 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
             "at least one inequality (same restriction as the reference, "
             "qp.py:89).")
     if config.solver == QPSolvers.PDIPM_BATCHED:
-        factors = kkt_ops.pre_factor_kkt(
-            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
+        if factors is None:
+            factors = kkt_ops.pre_factor_kkt(
+                Qb, Gb, Ab,
+                **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
         return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
-                           init=init)
+                           init=init), factors
     if config.solver == QPSolvers.CPU_ORACLE:
-        return _oracle_forward(Qb, pb, Gb, hb, Ab, bb)
+        return _oracle_forward(Qb, pb, Gb, hb, Ab, bb), None
     raise ValueError(config.solver)
 
 
@@ -133,20 +142,22 @@ def _oracle_forward(Qb, pb, Gb, hb, Ab, bb) -> QPSolution:
 # custom_vjp: implicit differentiation of the KKT conditions
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _qp_core(Qb, pb, Gb, hb, Ab, bb, init, config: SolverConfig, meta):
-    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init).z
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _qp_core(Qb, pb, Gb, hb, Ab, bb, init, cached_factors,
+             config: SolverConfig, meta):
+    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init,
+                            factors=cached_factors)[0].z
 
 
-def _qp_fwd(Qb, pb, Gb, hb, Ab, bb, init, config: SolverConfig, meta):
-    sol = _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init)
-    if config.save_factors_for_backward and \
-            config.solver == QPSolvers.PDIPM_BATCHED:
-        factors = kkt_ops.pre_factor_kkt(
-            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
-    else:
+def _qp_fwd(Qb, pb, Gb, hb, Ab, bb, init, cached_factors,
+            config: SolverConfig, meta):
+    sol, factors = _forward_batched(Qb, pb, Gb, hb, Ab, bb, config,
+                                    init=init, factors=cached_factors)
+    if not (config.save_factors_for_backward
+            and config.solver == QPSolvers.PDIPM_BATCHED):
         factors = None
-    res = (sol.z, sol.lam, sol.s, sol.nu, Qb, Gb, Ab, factors, init)
+    res = (sol.z, sol.lam, sol.s, sol.nu, Qb, Gb, Ab, factors, init,
+           cached_factors)
     return sol.z, res
 
 
@@ -156,7 +167,7 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     The warm start carries no gradient: by the implicit-function theorem the
     solution (hence its vjp) is independent of the IPM's starting point.
     """
-    zhat, lam, s, nu, Qb, Gb, Ab, factors, init = res
+    zhat, lam, s, nu, Qb, Gb, Ab, factors, init, cached_factors = res
     # meta's B is the *global* batch (used only for the bug-compat mean
     # scaling); local shapes come from the cotangent — under shard_map the
     # local batch is B / num_shards.
@@ -180,13 +191,33 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     # Backward RHS is (dl/dz, 0, 0, 0) — qp.py:151-155; the zero blocks are
     # structural, so their matvecs are skipped entirely, and the one KKT
     # solve runs fused with the factor completion.
-    rhs_T, u = kkt_ops.prepare_rhs_kkt(
-        solver_factors, d, Gb, Ab, dl_dz, None, None, None,
-        solve2=backend.solve2)
-    _, dz_sol = backend.factor_solve(solver_factors.R, d, rhs_T)
-    dx, _, dlam, dnu = kkt_ops.backsub_kkt(
-        solver_factors, dz_sol, u, d, Gb, Ab, dl_dz, None,
-        solve2=backend.solve2)
+    if factors.invQ_GT is not None:
+        # Inverse-mode fast path (mirrors pdipm.solve's): the RHS and
+        # backsub matvecs fold into the cached Q^-1 G^T / Q^-1 A^T
+        # products — G and A are never read in the backward.
+        fs = factors
+        iQ_dl = kkt_ops.bmv(fs.invQ, dl_dz)
+        r2 = kkt_ops.btmv(fs.invQ_GT, dl_dz)          # G Q^-1 dl
+        if neq > 0:
+            r1 = kkt_ops.btmv(fs.invQ_AT, dl_dz)      # A Q^-1 dl
+            u = kkt_ops.bmv(fs.invS11, -r1)
+            rhs_T = -r2 - kkt_ops.bmv(fs.S21, u)
+        else:
+            u = None
+            rhs_T = -r2
+        _, dlam = backend.factor_solve(solver_factors.R, d, rhs_T)
+        dnu = (u - kkt_ops.bmv(fs.W, dlam)) if neq > 0 else None
+        dx = -iQ_dl - kkt_ops.bmv(fs.invQ_GT, dlam)
+        if neq > 0:
+            dx = dx - kkt_ops.bmv(fs.invQ_AT, dnu)
+    else:
+        rhs_T, u = kkt_ops.prepare_rhs_kkt(
+            solver_factors, d, Gb, Ab, dl_dz, None, None, None,
+            solve2=backend.solve2)
+        _, dz_sol = backend.factor_solve(solver_factors.R, d, rhs_T)
+        dx, _, dlam, dnu = kkt_ops.backsub_kkt(
+            solver_factors, dz_sol, u, d, Gb, Ab, dl_dz, None,
+            solve2=backend.solve2)
 
     # Gradient assembly (qp.py:157-177).
     dQ = 0.5 * (bger(dx, zhat) + bger(zhat, dx))
@@ -226,7 +257,12 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
 
     d_init = (None if init is None
               else jax.tree_util.tree_map(jnp.zeros_like, init))
-    return (dQ, dp, dG, dh, dA, db, d_init)
+    # Cached factors are a solution operator, not an independent input:
+    # gradients w.r.t. (Q, G, A) already flow through the implicit-KKT
+    # formulas above, so their cotangent is structurally zero.
+    d_cached = (None if cached_factors is None
+                else jax.tree_util.tree_map(jnp.zeros_like, cached_factors))
+    return (dQ, dp, dG, dh, dA, db, d_init, d_cached)
 
 
 _qp_core.defvjp(_qp_fwd, _qp_bwd)
@@ -237,7 +273,8 @@ _qp_core.defvjp(_qp_fwd, _qp_bwd)
 # ---------------------------------------------------------------------------
 
 def solve_qp(Q, p, G, h, A=None, b=None,
-             config: SolverConfig = DEFAULT_CONFIG, init=None):
+             config: SolverConfig = DEFAULT_CONFIG, init=None,
+             factors=None):
     """Differentiable batched QP solve; returns z* of shape (B, nz).
 
     Gradients flow to all six parameters. Parameters passed without a batch
@@ -247,21 +284,50 @@ def solve_qp(Q, p, G, h, A=None, b=None,
 
     ``init``: optional warm start (x, s, z, y) with full-batch shapes
     (y may be None); carries no gradient (implicit-function theorem).
+
+    ``factors``: optional cached :func:`prefactor_qp` result for repeated
+    solves with fixed (Q, G, A) — skips the one-time pre-factorization
+    (receding-horizon MPC re-solves change only p/h/b). Carries no
+    gradient itself; (Q, G, A) gradients stay exact.
     """
     Qb, pb, Gb, hb, Ab, bb, meta = _canonicalize(Q, p, G, h, A, b)
-    return _qp_core(Qb, pb, Gb, hb, Ab, bb, init, config, meta)
+    return _qp_core(Qb, pb, Gb, hb, Ab, bb, init, factors, config, meta)
 
 
 def solve_qp_full(Q, p, G, h, A=None, b=None,
                   config: SolverConfig = DEFAULT_CONFIG,
-                  init=None) -> QPSolution:
+                  init=None, factors=None) -> QPSolution:
     """Forward-only solve returning the full primal-dual solution and
     ``SolveStats`` (the jit-friendly replacement for the reference's prints).
     Not differentiable — use :func:`solve_qp` for gradients. Supports the
     same warm start as :func:`solve_qp` (pass the previous QPSolution's
-    (z, s, lam, nu) as (x, s, z, y) for receding-horizon workloads)."""
+    (z, s, lam, nu) as (x, s, z, y) for receding-horizon workloads) and the
+    same cached ``factors`` (see :func:`prefactor_qp`)."""
     Qb, pb, Gb, hb, Ab, bb, _ = _canonicalize(Q, p, G, h, A, b)
-    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init)
+    return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init,
+                            factors=factors)[0]
+
+
+def prefactor_qp(Q, G, A=None, config: SolverConfig = DEFAULT_CONFIG):
+    """One-time KKT pre-factorization of fixed (Q, G, A) for repeated
+    solves (``factors=`` of :func:`solve_qp` / :func:`solve_qp_full`).
+
+    The factorization-as-cached-artifact contract of the reference
+    (Q_LU/S_LU/R on ctx, qp.py:93) promoted to a user-facing API: in a
+    receding-horizon MPC loop only p/h/b change between steps, so the
+    prefactor (the dominant one-time cost, ~11 ms of a ~53 ms batch-4096
+    solve) is paid once instead of per step. The result is a pytree —
+    jit/vmap/donate friendly.
+
+    The ``config`` must match the one later passed to the solve (it fixes
+    the inverse/substitution factor representation).
+    """
+    A, _ = normalize_constraints(A, A)
+    Qb, _ = as_batched(Q, 3)
+    Gb, _ = as_batched(G, 3)
+    Ab = as_batched(A, 3)[0] if A is not None else None
+    return kkt_ops.pre_factor_kkt(
+        Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
 
 
 def QPFunction(eps: float = 1e-12, verbose: int = 0,

@@ -22,12 +22,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100):
+def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100,
+                return_status: bool = False):
     """Solve  min 1/2 x^T Q x + p^T x  s.t. Gx <= h, Ax = b  in float64.
 
     Returns (objective, x, nu, lam, slacks) mirroring the reference oracle's
     return contract (cvxpy.py:31): nu is None when there are no equality
-    constraints.
+    constraints. With ``return_status=True`` a trailing int is appended:
+    0 = converged, 1 = max_iter reached (best effort).
     """
     Q = np.asarray(Q, dtype=np.float64)
     p = np.asarray(p, dtype=np.float64)
@@ -80,11 +82,13 @@ def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100):
             return 1.0
         return min(1.0, np.min(-v[neg] / dv[neg]))
 
+    converged = False
     for _ in range(max_iter):
         rd, rp, re = residuals(x, s, z, y)
         mu = s @ z / m
         if (max(np.abs(rd).max(), np.abs(rp).max(),
                 np.abs(re).max() if has_eq else 0.0) < tol and mu < tol):
+            converged = True
             break
 
         # Predictor.
@@ -110,12 +114,21 @@ def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100):
             y = y + alpha * dy
 
     obj = 0.5 * x @ Q @ x + p @ x
-    return obj, x, (y if has_eq else None), z, s
+    out = (obj, x, (y if has_eq else None), z, s)
+    return out + (0 if converged else 1,) if return_status else out
 
 
-def solve_qp_batch_np(Q, p, G, h, A=None, b=None, **kw):
+def solve_qp_batch_np(Q, p, G, h, A=None, b=None,
+                      return_status: bool = False, **kw):
     """Loop the oracle over a batch, broadcasting unbatched params —
-    the numpy analog of the reference's CVXPY batch loop (qp.py:104-115)."""
+    the numpy analog of the reference's CVXPY batch loop (qp.py:104-115).
+
+    Per-lane failure isolation: a lane whose solve hits a singular system
+    (infeasible/degenerate instance — exactly the inputs this oracle
+    exists to debug) gets NaN-filled outputs instead of aborting the
+    batch; healthy lanes keep their solutions. ``return_status=True``
+    appends a per-lane int array (0 = ok, -1 = failed).
+    """
     p = np.asarray(p)
     B = p.shape[0] if p.ndim == 2 else 1
     p2 = np.atleast_2d(p)
@@ -128,14 +141,34 @@ def solve_qp_batch_np(Q, p, G, h, A=None, b=None, **kw):
             return M[i if M.shape[0] > 1 else 0]  # batch-1 = shared
         return M
 
+    n = p2.shape[1]
+    m = np.asarray(G).shape[-2]
+    Ai0 = get(A, 0, 3)
+    neq = Ai0.shape[0] if Ai0 is not None else 0
+    has_eq = neq > 0
+
+    status = np.zeros((B,), dtype=np.int32)
     xs, nus, lams, ss = [], [], [], []
     for i in range(B):
-        _, x, nu, lam, s = solve_qp_np(
-            get(Q, i, 3), p2[i], get(G, i, 3), get(h, i, 2),
-            get(A, i, 3), get(b, i, 2), **kw)
+        try:
+            _, x, nu, lam, s, st = solve_qp_np(
+                get(Q, i, 3), p2[i], get(G, i, 3), get(h, i, 2),
+                get(A, i, 3), get(b, i, 2), return_status=True, **kw)
+            status[i] = st
+            if not (np.isfinite(x).all() and np.isfinite(lam).all()
+                    and np.isfinite(s).all()
+                    and (nu is None or np.isfinite(nu).all())):
+                raise np.linalg.LinAlgError("non-finite iterate")
+        except np.linalg.LinAlgError:
+            status[i] = -1
+            x = np.full(n, np.nan)
+            lam = np.full(m, np.nan)
+            s = np.full(m, np.nan)
+            nu = np.full(neq, np.nan) if has_eq else None
         xs.append(x)
         nus.append(nu)
         lams.append(lam)
         ss.append(s)
-    nu_arr = np.stack(nus) if nus[0] is not None else np.zeros((B, 0))
-    return np.stack(xs), nu_arr, np.stack(lams), np.stack(ss)
+    nu_arr = np.stack(nus) if has_eq else np.zeros((B, 0))
+    out = (np.stack(xs), nu_arr, np.stack(lams), np.stack(ss))
+    return out + (status,) if return_status else out

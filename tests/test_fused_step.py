@@ -17,7 +17,9 @@ from conftest import make_feasible_qp
 
 @pytest.mark.parametrize("neq", [0, 3])
 @pytest.mark.parametrize("shared", [False, True])
-@pytest.mark.parametrize("n_correctors", [0, 2])
+@pytest.mark.parametrize(
+    "n_correctors",
+    [0, pytest.param(2, marks=pytest.mark.slow)])
 def test_fused_step_matches_composed(rng, n_correctors, shared, neq,
                                      monkeypatch):
     Q, p, G, h, A, b = make_feasible_qp(rng, nz=9, nineq=7, neq=neq,

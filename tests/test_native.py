@@ -23,6 +23,39 @@ def test_native_matches_numpy(rng, neq):
         npt.assert_allclose(got, np.asarray(want), atol=1e-9)
 
 
+def _poison_lane(G, h, lane):
+    """Make one lane's constraints contradictory: x0 <= -1 and -x0 <= -1."""
+    G = np.array(G, copy=True)
+    h = np.array(h, copy=True)
+    G[lane, 0, :] = 0.0
+    G[lane, 1, :] = 0.0
+    G[lane, 0, 0] = 1.0
+    G[lane, 1, 0] = -1.0
+    h[lane, 0] = -1.0
+    h[lane, 1] = -1.0
+    return G, h
+
+
+@pytest.mark.parametrize("impl", ["native", "numpy"])
+def test_per_lane_failure_isolation(rng, impl):
+    """One infeasible lane in a batch of 8: the other 7 still get correct
+    solutions and the bad lane is flagged (VERDICT r1 next-round #5)."""
+    B, lane = 8, 3
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=6, nineq=4, neq=0, nbatch=B)
+    Gp, hp = _poison_lane(G, h, lane)
+    solve = (native.solve_qp_batch_native if impl == "native"
+             else solve_qp_batch_np)
+    x, nu, lam, s, status = solve(Q, p, Gp, hp, None, None,
+                                  return_status=True)
+    assert status[lane] != 0
+    good = [i for i in range(B) if i != lane]
+    assert all(status[i] == 0 for i in good)
+    # Healthy lanes match a solve of the unpoisoned batch.
+    x_ref, _, _, _ = solve_qp_batch_np(Q, p, G, h, None, None)
+    npt.assert_allclose(x[good], x_ref[good], atol=1e-8)
+    assert np.isfinite(x[good]).all()
+
+
 def test_native_shared_matrices(rng):
     """Batch-1 (shared) matrix params with full-batch vectors."""
     Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=5, neq=2)

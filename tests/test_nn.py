@@ -33,6 +33,7 @@ def test_classifier_forward_and_grad(rng):
     assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)
 
 
+@pytest.mark.slow
 def test_classifier_training_step_improves(rng):
     model = OptNetClassifier(n_features=10, n_hidden=8, n_cls=3, n_ineq=6)
     x = jnp.asarray(rng.randn(12, 10), jnp.float64)
@@ -45,16 +46,21 @@ def test_classifier_training_step_improves(rng):
         lp = model.apply(params, x)
         return -jnp.mean(lp[jnp.arange(12), labels])
 
-    l0 = None
-    for _ in range(5):
+    @jax.jit
+    def step(params, opt_state):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    l0 = None
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
         if l0 is None:
             l0 = float(loss)
     assert float(loss_fn(params)) < l0
 
 
+@pytest.mark.slow
 def test_sudoku_layer_learns_A(rng):
     """The sudoku layer exercises the neq > 0 Schur path end to end with a
     *learned* constraint matrix A (sudoku notebook cell 10)."""

@@ -61,7 +61,8 @@ def test_non_spd_lane_yields_nan(rng):
     assert bad[2] and not bad[0] and not bad[1] and not bad[3]
 
 
-@pytest.mark.parametrize("neq", [0, 2])
+@pytest.mark.parametrize(
+    "neq", [pytest.param(0, marks=pytest.mark.slow), 2])
 def test_pallas_solver_path_matches_xla(rng, neq):
     """End-to-end: use_pallas=True (interpret) == use_pallas=False, forward
     and gradients. float32, small shapes (interpret mode is slow)."""

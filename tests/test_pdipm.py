@@ -54,6 +54,7 @@ def test_alternate_kkt_paths(rng, kkt_solver):
                        config=SolverConfig(kkt_solver=kkt_solver))
 
 
+@pytest.mark.slow
 def test_kkt_conditions_of_solution(rng):
     """Returned (z, nu, lam, s) satisfies the KKT system — the in-code
     convergence contract (eps/maxIter defaults, qp.py:18-19)."""
@@ -71,6 +72,7 @@ def test_kkt_conditions_of_solution(rng):
     assert np.asarray(sol.stats.converged).size == 8
 
 
+@pytest.mark.slow
 def test_stats_and_convergence(rng):
     Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=2, nbatch=4)
     sol = qpth_tpu.solve_qp_full(*[jnp.asarray(v) for v in
@@ -87,6 +89,28 @@ def test_float32(rng):
     x_ref, _, _, _ = solve_qp_batch_np(Q, p, G, h, A, b)
     assert z32.dtype == jnp.float32
     npt.assert_allclose(np.asarray(z32), x_ref, atol=5e-3, rtol=1e-2)
+
+
+def test_auto_improve_margin_is_dtype_aware(rng):
+    """Default (improve_margin=None) resolves to 1e-3 below f64 — f32
+    solves stop at the residual plateau instead of running to max_iter —
+    and to strict 0 at f64 (reference parity, batch.py:124)."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=0, nbatch=8)
+    args32 = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
+    auto = qpth_tpu.solve_qp_full(*args32)
+    strict = qpth_tpu.solve_qp_full(
+        *args32, config=SolverConfig(improve_margin=0.0))
+    assert int(auto.stats.iterations) < SolverConfig().max_iter
+    assert int(auto.stats.iterations) <= int(strict.stats.iterations)
+    # Early stopping costs no meaningful f32 accuracy.
+    npt.assert_allclose(np.asarray(auto.z), np.asarray(strict.z),
+                        atol=5e-4, rtol=1e-3)
+    # f64: auto == strict bit-for-bit (margin resolves to 0).
+    args64 = [jnp.asarray(v) for v in (Q, p, G, h)]
+    auto64 = qpth_tpu.solve_qp_full(*args64)
+    strict64 = qpth_tpu.solve_qp_full(
+        *args64, config=SolverConfig(improve_margin=0.0))
+    npt.assert_array_equal(np.asarray(auto64.z), np.asarray(strict64.z))
 
 
 def test_jit_and_caching(rng):

@@ -49,6 +49,7 @@ def test_qpfunction_factory_matches_solve_qp(rng):
                         np.asarray(qpth_tpu.solve_qp(*args)))
 
 
+@pytest.mark.slow
 def test_qpfunction_kwargs_forwarding(rng):
     from qpth_tpu import KKTSolver
 
@@ -89,6 +90,7 @@ def test_grad_through_parameter_construction(rng):
         assert np.abs(np.asarray(gi)).max() > 0
 
 
+@pytest.mark.slow
 def test_vmap_composition(rng):
     """vmap over an extra leading axis composes with the batched solver."""
     K, B, nz, m = 2, 3, 5, 4

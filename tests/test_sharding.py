@@ -26,7 +26,9 @@ def _args(rng, B=16, nz=8, m=6, neq=2, batched_mats=False):
             for v in (Q, p, G, h, A, b)]
 
 
-@pytest.mark.parametrize("batched_mats", [False, True])
+@pytest.mark.parametrize(
+    "batched_mats",
+    [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_sharded_matches_single_device(rng, batched_mats):
     args = _args(rng, batched_mats=batched_mats)
     z_single = qpth_tpu.solve_qp(*args)
@@ -36,6 +38,7 @@ def test_sharded_matches_single_device(rng, batched_mats):
                         atol=1e-9, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_gradients(rng):
     """Gradients through the sharded solve: per-lane grads match the
     single-device ones; shared-parameter grads are psum'd correctly."""

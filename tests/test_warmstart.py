@@ -28,6 +28,43 @@ def test_warm_start_converges_faster(rng):
     assert int(warm.stats.iterations) <= int(cold2.stats.iterations)
 
 
+def test_prefactor_caching_same_solution_and_grads(rng):
+    """Cached prefactor_qp factors across re-solves (the MPC pattern:
+    fixed Q/G/A, changing p/h/b) give identical solutions and exact
+    gradients (VERDICT r1 next-round #4)."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=5, neq=2, nbatch=4)
+    args = [jnp.asarray(v) for v in (Q, p, G, h, A, b)]
+    factors = qpth_tpu.prefactor_qp(args[0], args[2], args[4])
+
+    cold = qpth_tpu.solve_qp_full(*args)
+    cached = qpth_tpu.solve_qp_full(*args, factors=factors)
+    npt.assert_allclose(np.asarray(cached.z), np.asarray(cold.z),
+                        atol=1e-12)
+
+    # Differentiable path: same z and same gradients with cached factors.
+    def loss(p_, f):
+        z = qpth_tpu.solve_qp(args[0], p_, args[2], args[3], args[4],
+                              args[5], factors=f)
+        return jnp.sum(z ** 2)
+
+    g_cold = jax.grad(lambda p_: loss(p_, None))(args[1])
+    g_cached = jax.grad(lambda p_: loss(p_, factors))(args[1])
+    npt.assert_allclose(np.asarray(g_cached), np.asarray(g_cold),
+                        atol=1e-10, rtol=1e-10)
+
+    # Gradients w.r.t. Q stay exact when factors are cached (the implicit
+    # KKT formulas carry them; the factor operator itself is non-diff).
+    def lossQ(Q_, f):
+        z = qpth_tpu.solve_qp(Q_, args[1], args[2], args[3], args[4],
+                              args[5], factors=f)
+        return jnp.sum(z ** 2)
+
+    gq_cold = jax.grad(lambda Q_: lossQ(Q_, None))(args[0])
+    gq_cached = jax.grad(lambda Q_: lossQ(Q_, factors))(args[0])
+    npt.assert_allclose(np.asarray(gq_cached), np.asarray(gq_cold),
+                        atol=1e-10, rtol=1e-8)
+
+
 def test_warm_start_same_solution_and_grads(rng):
     Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=5, neq=2, nbatch=4)
     args = [jnp.asarray(v) for v in (Q, p, G, h, A, b)]
