@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverConfig
+from .diagqp import solve_qp_diag
 from .qp import solve_qp
 
 
@@ -66,11 +67,18 @@ class OptNetSudoku(linen.Module):
     ``G = -I``, ``h = 0``; *learns the equality-constraint structure* ``A``
     through the implicit KKT gradients dA/db — this exercises the neq > 0
     Schur path end to end.
+
+    ``Q``/``G`` are diagonal, so by default the layer runs on the
+    structure-exploiting diagonal solver (per-iteration work: one
+    (n_eq x n_eq) normal-equations factor instead of an (nx x nx) dense
+    Cholesky — see qpth_tpu/core/diag.py). Set ``structure="dense"`` to
+    force the dense Schur path (used by the equivalence tests).
     """
 
     n: int = 2
     q_penalty: float = 0.1
     n_eq: int = 40
+    structure: str = "diag"
     qp_config: SolverConfig = SolverConfig(verbose=-1)
 
     @linen.compact
@@ -82,10 +90,18 @@ class OptNetSudoku(linen.Module):
 
         A = self.param(
             "A", lambda k: jax.random.uniform(k, (self.n_eq, nx)))
-        Q = self.q_penalty * jnp.eye(nx, dtype=dt)
-        G = -jnp.eye(nx, dtype=dt)
-        h = jnp.zeros(nx, dtype=dt)
         b = jnp.ones(self.n_eq, dtype=dt)
 
-        z = solve_qp(Q, p, G, h, A.astype(dt), b, config=self.qp_config)
+        if self.structure == "diag":
+            q = jnp.full((nx,), self.q_penalty, dtype=dt)
+            g = jnp.full((nx,), -1.0, dtype=dt)
+            h = jnp.zeros(nx, dtype=dt)
+            z = solve_qp_diag(q, p, g, h, A.astype(dt), b,
+                              config=self.qp_config)
+        else:
+            Q = self.q_penalty * jnp.eye(nx, dtype=dt)
+            G = -jnp.eye(nx, dtype=dt)
+            h = jnp.zeros(nx, dtype=dt)
+            z = solve_qp(Q, p, G, h, A.astype(dt), b,
+                         config=self.qp_config)
         return z.reshape(puzzles.shape)

@@ -1,0 +1,166 @@
+"""Hybrid blocked Cholesky for problems beyond the lanes kernels' VMEM
+wall (m > ~136): lanes-kernel diagonal blocks + MXU trailing updates.
+
+The per-iteration factorization of ``T = R + diag(1/d)`` has two cost
+components with opposite hardware affinities:
+
+* the *serial pivot chain* — irreducibly sequential per matrix, best
+  executed in the batch-in-lanes layout where each of the m steps is a
+  full-width vector op over 128 independent QPs (``ops/pallas/lanes.py``,
+  measured ~31x XLA's batched Cholesky at m = 100);
+* the *trailing bulk* — O(m^3) GEMM flops, best executed on the MXU.
+
+Above the VMEM wall neither pure approach wins: the lanes kernel cannot
+hold the matrix, and XLA's batched Cholesky serializes the pivot chain
+per lane. This module splits the work at a 128-wide block granularity:
+
+    for each block column j:                       (right-looking)
+        G_j = inv(chol(D_j))     <- lanes factor_inv kernel (fits VMEM)
+        P_j = T[i>j, j] @ G_j^T  <- batched MXU GEMM
+        T[i>j, k>j] -= P_j P_j^T <- batched MXU GEMM (trailing update)
+
+and stores the factor as ``(G_j diagonal-block inverses, P_j panels)``;
+triangular solves become blocked substitution whose per-block step is one
+(128 x 128) batched matvec — no XLA triangular_solve anywhere.
+
+This replaces cuSOLVER-class batched large-m factorization in the
+reference stack (lu_hack call sites, batch.py:8-20,435-470) for the
+BASELINE config-4 regime (nz up to 512).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .linalg import HIGHEST, add_diag, bmm, cholesky, tri_solve
+
+#: Block size: matches the lanes kernels' 128-lane tile and the MXU tile.
+BLOCK = 128
+
+
+def _spd_factor_inv_block(D, interpret: bool):
+    """G = inv(chol(D)) for a batch of (kb x kb) SPD blocks, kb <= ~136.
+
+    Lanes kernel on TPU (batch padded to the 128-lane tile); XLA
+    cholesky + triangular solve elsewhere/in interpret mode for speed.
+    """
+    B, kb = D.shape[0], D.shape[-1]
+    from .pallas.lanes import lanes_supported
+
+    if not interpret and B >= 8 and lanes_supported(kb, B):
+        from .pallas.lanes import (factor_inv_lanes, pad_spd_lanes, pad_up)
+
+        D_t = pad_spd_lanes(jnp.transpose(D, (1, 2, 0)))
+        Bp = pad_up(B, 128)
+        if Bp != B:
+            D_t = jnp.pad(D_t, ((0, 0), (0, 0), (0, Bp - B)))
+        zero_d = jnp.zeros((kb, Bp), D.dtype)
+        G = factor_inv_lanes(D_t, zero_d, interpret=False)
+        return jnp.transpose(G[:, :, :B], (2, 0, 1))[:, :kb, :kb]
+    L = cholesky(D)
+    eye = jnp.broadcast_to(jnp.eye(kb, dtype=D.dtype), (B, kb, kb))
+    return tri_solve(L, eye)
+
+
+class HybridFactor:
+    """Blocked factor of a batch of SPD matrices: diagonal-block inverses
+    ``Gs[j] = inv(L_jj)`` and sub-diagonal panels ``Ps[j] = L[j+1:, j]``."""
+
+    __slots__ = ("Gs", "Ps", "m", "block")
+
+    def __init__(self, Gs, Ps, m, block):
+        self.Gs, self.Ps, self.m, self.block = Gs, Ps, m, block
+
+
+jax.tree_util.register_pytree_node(
+    HybridFactor,
+    lambda f: ((f.Gs, f.Ps), (f.m, f.block)),
+    lambda aux, ch: HybridFactor(ch[0], ch[1], *aux),
+)
+
+
+def factor_hybrid(T, interpret: bool = False,
+                  block: int = BLOCK) -> HybridFactor:
+    """Blocked Cholesky of batched SPD T (B, m, m)."""
+    B, m = T.shape[0], T.shape[-1]
+    Gs, Ps = [], []
+    S = T
+    for j0 in range(0, m, block):
+        kb = min(block, m - j0)
+        D = S[:, :kb, :kb]
+        G = _spd_factor_inv_block(D, interpret)
+        Gs.append(G)
+        if j0 + kb < m:
+            # P = A_{21} G^T : the sub-diagonal panel of L.
+            P = bmm(S[:, kb:, :kb], jnp.swapaxes(G, -1, -2))
+            Ps.append(P)
+            # Trailing update on the MXU.
+            S = S[:, kb:, kb:] - jnp.einsum(
+                "bik,bjk->bij", P, P, precision=HIGHEST)
+        else:
+            Ps.append(None)
+    return HybridFactor(Gs, Ps, m, block)
+
+
+def solve_hybrid(fac: HybridFactor, v):
+    """Solve (L L^T) x = v for batched vectors v (B, m) given the blocked
+    factor. Pure batched-GEMV substitution; every step is MXU-sized."""
+    m, block = fac.m, fac.block
+    nb = len(fac.Gs)
+    starts = [j * block for j in range(nb)]
+
+    def mv(M, x):
+        return jnp.einsum("bij,bj->bi", M, x, precision=HIGHEST)
+
+    def mtv(M, x):
+        return jnp.einsum("bij,bi->bj", M, x, precision=HIGHEST)
+
+    # Forward: y_j = G_j (v_j - [P_{k} y_k]_j rows).
+    ys = []
+    for j in range(nb):
+        j0 = starts[j]
+        kb = min(block, m - j0)
+        r = v[:, j0:j0 + kb]
+        for k in range(j):
+            k0 = starts[k]
+            pk = fac.Ps[k]          # rows k0+block.. of column block k
+            r0 = j0 - (k0 + min(block, m - k0))
+            r = r - mv(pk[:, r0:r0 + kb, :], ys[k])
+        ys.append(mv(fac.Gs[j], r))
+
+    # Backward: x_j = G_j^T (y_j - [P_j^T x_{k>j}]).
+    xs = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        j0 = starts[j]
+        kb = min(block, m - j0)
+        r = ys[j]
+        if fac.Ps[j] is not None:
+            xt = jnp.concatenate(xs[j + 1:], axis=-1)
+            r = r - mtv(fac.Ps[j], xt)
+        xs[j] = mtv(fac.Gs[j], r)
+    return jnp.concatenate(xs, axis=-1)
+
+
+def hybrid_backend(interpret: bool = False):
+    """KKTBackend using the hybrid blocked factorization — the TPU fast
+    path for lanes-unsupported sizes (m beyond the VMEM wall)."""
+    from . import kkt as kkt_ops
+    from .linalg import bmv
+
+    def factor(R, d):
+        return factor_hybrid(add_diag(R, 1.0 / d), interpret=interpret)
+
+    def solve2(fac, v):
+        return solve_hybrid(fac, v)
+
+    def factor_solve(R, d, v):
+        fac = factor(R, d)
+        return fac, solve_hybrid(fac, v)
+
+    def factor_solve_rz(R, d, q, z):
+        return factor_solve(R, d, q - bmv(R, z))
+
+    return kkt_ops.KKTBackend(
+        prepare=lambda f: f, factor=factor, solve2=solve2,
+        factor_solve=factor_solve, factor_solve_rz=factor_solve_rz)

@@ -403,7 +403,12 @@ def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:
         from .pallas.lanes import lanes_supported
 
         if not lanes_supported(m, B):
-            return xla_backend()
+            # Beyond the VMEM wall: hybrid blocked factorization (lanes
+            # diagonal blocks + MXU trailing updates) instead of the
+            # plain XLA fallback.
+            from .hybrid import hybrid_backend
+
+            return hybrid_backend(interpret=not on_tpu)
     if not use_pallas or use_pallas == "xla":
         return xla_backend()
     interpret = not on_tpu
@@ -411,6 +416,10 @@ def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:
         return pallas_blocked_backend(interpret=interpret)
     if use_pallas == "lanes":
         return pallas_lanes_backend(interpret=interpret)
+    if use_pallas == "hybrid":
+        from .hybrid import hybrid_backend
+
+        return hybrid_backend(interpret=not on_tpu)
     raise ValueError(f"use_pallas: {use_pallas!r}")
 
 

@@ -1,0 +1,69 @@
+"""Hybrid blocked Cholesky (large-m path beyond the lanes VMEM wall):
+factor/solve correctness vs XLA, and the full solver at m > 136."""
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import qpth_tpu
+from qpth_tpu.ops.hybrid import factor_hybrid, solve_hybrid
+from qpth_tpu.ops.linalg import cho_solve_vec, cholesky
+
+from conftest import make_feasible_qp
+
+
+@pytest.mark.parametrize("m", [150, 257, 300])
+def test_hybrid_factor_solve_matches_xla(rng, m):
+    B = 3
+    X = rng.randn(B, m, m)
+    T = jnp.asarray(X @ X.transpose(0, 2, 1) + m * np.eye(m))
+    v = jnp.asarray(rng.randn(B, m))
+    fac = factor_hybrid(T, interpret=True)
+    x = solve_hybrid(fac, v)
+    x_ref = cho_solve_vec(cholesky(T), v)
+    npt.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9,
+                        atol=1e-9)
+
+
+def test_hybrid_blocksize_edge(rng):
+    """m an exact multiple of the block size (no remainder block)."""
+    B, m = 2, 256
+    X = rng.randn(B, m, m)
+    T = jnp.asarray(X @ X.transpose(0, 2, 1) + m * np.eye(m))
+    v = jnp.asarray(rng.randn(B, m))
+    x = solve_hybrid(factor_hybrid(T, interpret=True), v)
+    x_ref = cho_solve_vec(cholesky(T), v)
+    npt.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9,
+                        atol=1e-9)
+
+
+@pytest.mark.slow
+def test_solver_on_hybrid_backend_matches_xla(rng):
+    """Full IPM at m > 136 on the hybrid backend == the XLA path with the
+    same (inverse-mode) prefactor representation. The comparison must
+    hold the prefactor fixed: explicit Q^-1 at float32 is the documented
+    accuracy/speed trade shared by ALL fast backends (PERF.md), so
+    comparing hybrid+inverse against xla+substitution would conflate the
+    two choices."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=60, nineq=150, neq=0,
+                                        nbatch=2)
+    # Temper the random-gram conditioning (cond(LL^T) ~ 1e8 at nz=60 is
+    # an f64-only regime; config-4 problems are diagonally regularized).
+    Q = Q + 0.1 * 60 * np.eye(60)
+    args32 = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
+    z_h = qpth_tpu.solve_qp(
+        *args32, config=qpth_tpu.SolverConfig(use_pallas="hybrid",
+                                              check_Q_spd=False))
+    z_x = qpth_tpu.solve_qp(
+        *args32, config=qpth_tpu.SolverConfig(use_pallas="xla",
+                                              solve_method="inverse",
+                                              check_Q_spd=False))
+    npt.assert_allclose(np.asarray(z_h), np.asarray(z_x), atol=5e-4,
+                        rtol=1e-3)
+
+    # And against the f64 oracle at f32-appropriate tolerance.
+    from qpth_tpu.solvers.oracle import solve_qp_batch_np
+
+    x_ref, _, _, _ = solve_qp_batch_np(Q, p, G, h, None, None)
+    npt.assert_allclose(np.asarray(z_h), x_ref, atol=5e-3, rtol=1e-2)

@@ -60,6 +60,19 @@ def test_classifier_training_step_improves(rng):
     assert float(loss_fn(params)) < l0
 
 
+def test_sudoku_structure_tiers_agree(rng):
+    """The sudoku layer's default diagonal-structure solver and the forced
+    dense path produce the same output for the same params."""
+    model_d = OptNetSudoku(n=2, n_eq=10)
+    model_f = OptNetSudoku(n=2, n_eq=10, structure="dense")
+    puzzles = jnp.asarray(rng.rand(2, 64), jnp.float64)
+    params = model_d.init(jax.random.PRNGKey(0), puzzles)
+    out_d = model_d.apply(params, puzzles)
+    out_f = model_f.apply(params, puzzles)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
+                               atol=1e-7)
+
+
 @pytest.mark.slow
 def test_sudoku_layer_learns_A(rng):
     """The sudoku layer exercises the neq > 0 Schur path end to end with a
