@@ -34,7 +34,8 @@ cases = [
     (200, 16, 24, 4, False),  # B>128 not multiple of 128 (lane padding)
     (64, 1, 1, 0, False),     # degenerate tiny
     (128, 48, 136, 0, False), # m at the lanes VMEM boundary
-    (128, 48, 137, 0, False), # just past it (xla fallback)
+    (128, 48, 137, 0, False), # just past it (hybrid blocked path)
+    (128, 48, 200, 3, False), # hybrid path, eq constraints
 ]
 cfg = qpth_tpu.SolverConfig(check_Q_spd=False, max_iter=6)
 bad = 0
@@ -53,5 +54,36 @@ for (B, n, m, neq, shared) in cases:
         bad += not ok
     except Exception as e:
         print(f'B={B} n={n} m={m} neq={neq} shared={int(shared)}: FAIL {type(e).__name__}: {str(e)[:140]}', flush=True)
+        bad += 1
+# Structured diagonal-Q/G path (core/diag.py) on hardware: fwd + grads,
+# neq = 0 (pure elementwise) and neq > 0 (MXU normal equations).
+for (B, n, neq) in [(256, 64, 0), (256, 64, 24)]:
+    try:
+        q = 0.5 + npr.rand(n).astype(np.float32)
+        g = -(0.5 + npr.rand(n).astype(np.float32))
+        x0 = npr.randn(n).astype(np.float32)
+        h = (g * x0 + npr.rand(B, n)).astype(np.float32)
+        p = npr.randn(B, n).astype(np.float32)
+        if neq:
+            A = npr.randn(neq, n).astype(np.float32)
+            b = np.broadcast_to(A @ x0, (B, neq)).astype(np.float32)
+        else:
+            A = b = None
+        args = [jnp.asarray(v) if v is not None else None
+                for v in (q, p, g, h, A, b)]
+        sol = jax.jit(lambda *a: qpth_tpu.solve_qp_diag_full(
+            *a, config=cfg))(*args)
+        r = float(np.median(np.asarray(sol.stats.best_resids)))
+        gr = jax.jit(jax.grad(lambda p_: (qpth_tpu.solve_qp_diag(
+            args[0], p_, args[2], args[3], args[4], args[5],
+            config=cfg) ** 2).sum()))(args[1])
+        gm = float(jnp.abs(gr).max())
+        ok = np.isfinite(r) and np.isfinite(gm)
+        print(f'diag B={B:4d} n={n:3d} neq={neq}: resid {r:9.2e} '
+              f'|g| {gm:9.2e} {"OK" if ok else "BAD"}', flush=True)
+        bad += not ok
+    except Exception as e:
+        print(f'diag B={B} n={n} neq={neq}: FAIL {type(e).__name__}: '
+              f'{str(e)[:140]}', flush=True)
         bad += 1
 print('FAILURES:', bad)

@@ -142,6 +142,45 @@ def test_spqpfunction_diag_dispatch(rng):
         npt.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-7)
 
 
+def test_diag_grads_vs_finite_differences(rng):
+    """Tier-1 guarantee for the structured path: analytic implicit-KKT
+    gradients vs central differences of an oracle-forward loss (the same
+    cross-solver probe the dense path gets in test_grads.py)."""
+    from conftest import fd_grad
+    from qpth_tpu.solvers.oracle import solve_qp_np
+
+    n, neq = 6, 2
+    q, p, g, h, A, b = _diag_qp(rng, n=n, neq=neq, nbatch=1)
+    q1, p1, g1, h1, b1 = (v[0] for v in (q, p, g, h, b))
+    A1 = A[0]
+    z_true = rng.randn(n)
+
+    def loss_params(qv, gv, hv):
+        z = qpth_tpu.solve_qp_diag(
+            jnp.asarray(qv), jnp.asarray(p1)[None], jnp.asarray(gv),
+            jnp.asarray(hv), jnp.asarray(A1), jnp.asarray(b1)[None])
+        return 0.5 * jnp.sum((z[0] - z_true) ** 2)
+
+    gq, gg, gh = jax.grad(loss_params, argnums=(0, 1, 2))(q1, g1, h1)
+
+    def fd_loss(name):
+        def f(v):
+            theta = dict(q=q1, g=g1, h=h1)
+            theta[name] = v
+            _, z, _, _, _ = solve_qp_np(
+                np.diag(theta["q"]), p1, np.diag(theta["g"]), theta["h"],
+                A1, b1)
+            return 0.5 * np.sum((z - z_true) ** 2)
+        return f
+
+    npt.assert_allclose(np.asarray(gq), fd_grad(fd_loss("q"), q1),
+                        atol=1e-2, rtol=1e-4)
+    npt.assert_allclose(np.asarray(gg), fd_grad(fd_loss("g"), g1),
+                        atol=1e-2, rtol=1e-4)
+    npt.assert_allclose(np.asarray(gh), fd_grad(fd_loss("h"), h1),
+                        atol=1e-2, rtol=1e-4)
+
+
 def test_diag_float32(rng):
     q, p, g, h, A, b = _diag_qp(rng, n=10, neq=4, nbatch=8)
     args64 = [jnp.asarray(v) for v in (q, p, g, h, A, b)]

@@ -78,6 +78,30 @@ def test_jit_with_sharded_inputs(rng):
                         atol=1e-9, rtol=1e-9)
 
 
+def test_diag_path_with_sharded_inputs(rng):
+    """The structured diagonal solver composes with jit+SPMD batch
+    sharding (its termination reductions are plain batch reductions that
+    GSPMD lowers to collectives)."""
+    B, n, neq = 16, 8, 3
+    q = 0.5 + rng.rand(B, n)
+    g = -(0.5 + rng.rand(B, n))
+    x0 = rng.randn(n)
+    h = g * x0 + rng.rand(B, n)
+    p = rng.randn(B, n)
+    A = rng.randn(neq, n)
+    b = np.broadcast_to(A @ x0, (B, neq)).copy()
+    args = [jnp.asarray(v) for v in (q, p, g, h, A, b)]
+
+    mesh = batch_mesh()
+    sh = batch_sharding(mesh)
+    p_sharded = jax.device_put(args[1], sh)
+    f = jax.jit(lambda p_: qpth_tpu.solve_qp_diag(
+        args[0], p_, args[2], args[3], args[4], args[5]))
+    z = f(p_sharded)
+    z_ref = qpth_tpu.solve_qp_diag(*args)
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-9)
+
+
 def test_uneven_batch_raises(rng):
     args = _args(rng, B=10)
     mesh = batch_mesh()
