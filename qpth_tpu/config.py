@@ -70,10 +70,15 @@ class SolverConfig:
     #: resid < best * (1 - improve_margin). The reference uses a strict
     #: comparison (batch.py:124), i.e. margin 0 — but at float32 noise-level
     #: improvements keep resetting the counter and every solve runs to
-    #: max_iter. Default None = dtype-aware auto: 1e-3 below float64
-    #: (stop at the f32 residual plateau, measured ~8 iterations at
-    #: nz=100 instead of max_iter=20), strict 0.0 at float64 (bit-level
-    #: reference parity). Pass an explicit float to override.
+    #: max_iter. Default None = dtype-aware auto: 1e-3 below float64,
+    #: strict 0.0 at float64 (bit-level reference parity). Pass an
+    #: explicit float to override. With a nonzero margin the
+    #: not-improved window is additionally tracked PER LANE with
+    #: latching (each lane individually gets the reference's rule; the
+    #: loop exits when every lane has plateaued) — the reference's
+    #: global any-lane reset cannot scale with batch size (some lane
+    #: noise-bounces below best at every iteration once B is in the
+    #: thousands). Margin 0 keeps the global reference rule exactly.
     improve_margin: float | None = None
     #: -1 silence warnings, 0 warnings only, 1 per-iteration prints
     #: (batch.py:115-117, 141-142).

@@ -71,6 +71,7 @@ class _DiagState(NamedTuple):
     best_resids: jnp.ndarray
     mu: jnp.ndarray
     n_not_improved: jnp.ndarray
+    lane_done: jnp.ndarray
     it: jnp.ndarray
     done: jnp.ndarray
 
@@ -168,6 +169,10 @@ def solve_diag(q, p, g, h, A, b, config: SolverConfig,
     improve_margin = config.improve_margin
     if improve_margin is None:
         improve_margin = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-3
+    # Per-lane latched plateau windows when a margin is active (see the
+    # batch-scaling rationale in core/pdipm.py); global reference rule
+    # at margin 0.
+    per_lane_term = improve_margin > 0.0
 
     use_pallas = _use_pallas_m(config, dtype, neq, B)
 
@@ -225,7 +230,9 @@ def solve_diag(q, p, g, h, A, b, config: SolverConfig,
         x=x, s=s, z=z, y=y, best_x=x, best_s=s, best_z=z, best_y=y,
         best_resids=jnp.full((B,), inf, dtype),
         mu=jnp.zeros((B,), dtype),
-        n_not_improved=jnp.zeros((), jnp.int32),
+        n_not_improved=jnp.zeros((B,) if per_lane_term else (),
+                                 jnp.int32),
+        lane_done=jnp.zeros((B,), bool),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
     )
@@ -261,11 +268,18 @@ def solve_diag(q, p, g, h, A, b, config: SolverConfig,
         best_z = jnp.where(imp, z, st.best_z)
         best_y = jnp.where(imp, y, st.best_y) if neq > 0 else st.best_y
 
-        any_improved = _greduce(improved.any(), "max", axis)
-        n_not = jnp.where(any_improved, 0, st.n_not_improved + 1)
+        if per_lane_term:
+            n_not = jnp.where(improved, 0, st.n_not_improved + 1)
+            lane_done = st.lane_done | (n_not >= config.not_improved_lim)
+            window_done = _greduce(lane_done.all(), "min", axis)
+        else:
+            any_improved = _greduce(improved.any(), "max", axis)
+            n_not = jnp.where(any_improved, 0, st.n_not_improved + 1)
+            lane_done = st.lane_done
+            window_done = n_not >= config.not_improved_lim
         max_best = _greduce(best_resids.max(), "max", axis)
         min_mu = _greduce(mu.min(), "min", axis)
-        done = ((n_not >= config.not_improved_lim)
+        done = (window_done
                 | (max_best < config.eps)
                 | (min_mu > config.mu_divergence))
 
@@ -333,7 +347,8 @@ def solve_diag(q, p, g, h, A, b, config: SolverConfig,
             x=x, s=s, z=z, y=y,
             best_x=best_x, best_s=best_s, best_z=best_z, best_y=best_y,
             best_resids=best_resids, mu=mu,
-            n_not_improved=n_not, it=st.it + 1, done=done,
+            n_not_improved=n_not, lane_done=lane_done,
+            it=st.it + 1, done=done,
         )
 
     final = lax.while_loop(cond_fn, body_fn, state)

@@ -81,7 +81,8 @@ class _IPMState(NamedTuple):
     best_y: jnp.ndarray
     best_resids: jnp.ndarray
     mu: jnp.ndarray
-    n_not_improved: jnp.ndarray   # scalar int32
+    n_not_improved: jnp.ndarray   # scalar int32 (global mode) / (B,) int32
+    lane_done: jnp.ndarray        # (B,) bool; latched (per-lane mode only)
     it: jnp.ndarray               # scalar int32
     done: jnp.ndarray             # scalar bool
 
@@ -111,6 +112,17 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     improve_margin = config.improve_margin
     if improve_margin is None:
         improve_margin = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-3
+    # Termination-rule scaling: the reference's window is GLOBAL — any
+    # lane improving resets the shared counter (batch.py:127,140). That
+    # rule cannot scale with batch: at thousands of lanes, the chance
+    # that SOME lane bounces below best-by-margin at every iteration is
+    # ~1, so plateaued batches (e.g. warm-started MPC re-solves) still
+    # run to max_iter. With a nonzero margin the counters become
+    # PER-LANE and latch: each lane individually gets the reference rule
+    # (exactly what the reference does at B = 1), and the loop exits
+    # once every lane has plateaued. margin == 0 keeps the reference's
+    # global rule bit-for-bit (f64 parity mode).
+    per_lane_term = improve_margin > 0.0
 
     backend = kkt_ops.resolve_backend(config.use_pallas, dtype,
                                       m=nineq, B=B)
@@ -272,7 +284,9 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         best_x=x, best_s=s, best_z=z, best_y=y,
         best_resids=jnp.full((B,), inf, dtype),
         mu=jnp.zeros((B,), dtype),
-        n_not_improved=jnp.zeros((), jnp.int32),
+        n_not_improved=jnp.zeros((B,) if per_lane_term else (),
+                                 jnp.int32),
+        lane_done=jnp.zeros((B,), bool),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
     )
@@ -320,13 +334,20 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         best_z = jnp.where(imp_col, z, st.best_z)
         best_y = jnp.where(imp_col, y, st.best_y) if neq > 0 else st.best_y
 
-        any_improved = _greduce(improved.any(), "max", axis)
-        n_not = jnp.where(any_improved, 0, st.n_not_improved + 1)
+        if per_lane_term:
+            n_not = jnp.where(improved, 0, st.n_not_improved + 1)
+            lane_done = st.lane_done | (n_not >= config.not_improved_lim)
+            window_done = _greduce(lane_done.all(), "min", axis)
+        else:
+            any_improved = _greduce(improved.any(), "max", axis)
+            n_not = jnp.where(any_improved, 0, st.n_not_improved + 1)
+            lane_done = st.lane_done
+            window_done = n_not >= config.not_improved_lim
 
         max_best = _greduce(best_resids.max(), "max", axis)
         min_mu = _greduce(mu.min(), "min", axis)
         done = (
-            (n_not >= config.not_improved_lim)
+            window_done
             | (max_best < config.eps)
             | (min_mu > config.mu_divergence)
         )
@@ -437,7 +458,8 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             x=x, s=s, z=z, y=y,
             best_x=best_x, best_s=best_s, best_z=best_z, best_y=best_y,
             best_resids=best_resids, mu=mu,
-            n_not_improved=n_not, it=st.it + 1, done=done,
+            n_not_improved=n_not, lane_done=lane_done,
+            it=st.it + 1, done=done,
         )
 
     final = lax.while_loop(cond_fn, body_fn, state)
