@@ -78,6 +78,19 @@ def test_jit_with_sharded_inputs(rng):
                         atol=1e-9, rtol=1e-9)
 
 
+def test_sharded_f32_per_lane_termination(rng):
+    """f32 activates the per-lane latched termination window; its
+    all-lanes-done reduction must compose with shard_map collectives and
+    match the single-device run."""
+    args = _args(rng)
+    args32 = [jnp.asarray(v, jnp.float32) if v is not None else None
+              for v in args]
+    z_single = qpth_tpu.solve_qp(*args32)
+    z_sharded = solve_qp_sharded(*args32, mesh=batch_mesh())
+    npt.assert_allclose(np.asarray(z_sharded), np.asarray(z_single),
+                        atol=1e-6, rtol=1e-5)
+
+
 def test_diag_path_with_sharded_inputs(rng):
     """The structured diagonal solver composes with jit+SPMD batch
     sharding (its termination reductions are plain batch reductions that
