@@ -86,6 +86,9 @@ def _m_factor(A, w, use_pallas: bool):
     XLA Cholesky elsewhere.
     """
     Aw = A * w[:, None, :]                             # (B, neq, nz)
+    # bij + explicit transpose beats emitting ijb from the GEMM epilogue
+    # here (measured: the (q, q, B) output layout de-optimizes the MXU
+    # store pattern at small q — 6.2 vs 4.0 ms/solve on the sudoku shape).
     M = jnp.einsum("bin,bjn->bij", Aw, A,
                    preferred_element_type=w.dtype,
                    precision=lax.Precision.HIGHEST)
