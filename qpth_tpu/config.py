@@ -126,6 +126,13 @@ class SolverConfig:
     #: is strictly interior. The reference has no warm-start support; this
     #: is the MPC-style receding-horizon extension (SURVEY §5.4).
     warm_start_min: float = 1e-3
+    #: Opt-in: fuse the diagonal solver's per-iteration factor+solves+
+    #: step into one Pallas kernel (ops/pallas/diagstep.py). Measured
+    #: neutral-to-slightly-slower than the composed path at the sudoku
+    #: shape (B=2048, nz=64, neq=40: 4.9 vs 4.0 ms/solve — the composed
+    #: path's small lanes kernels plus XLA's own elementwise fusion
+    #: already saturate); kept for larger-neq experimentation.
+    fused_diag_step: bool = False
     #: Gondzio multiple centrality correctors per iteration (beyond the
     #: reference's single Mehrotra corrector). Each one costs a single
     #: back-solve on the cached factorization and is accepted per-lane

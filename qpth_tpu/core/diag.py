@@ -179,6 +179,58 @@ def solve_diag(q, p, g, h, A, b, config: SolverConfig,
 
     use_pallas = _use_pallas_m(config, dtype, neq, B)
 
+    # Fully-fused structured step (one pallas_call per iteration: M
+    # factor+inverse, both solves, shared-A matvecs, step logic). The
+    # M assembly itself stays outside on the MXU. Shared-A layouts only.
+    # Opt-in (config.fused_diag_step): measured neutral at the sudoku
+    # shape — see the SolverConfig docstring.
+    if (use_pallas and config.fused_diag_step
+            and A is not None and A.shape[0] == 1):
+        from ..ops.pallas.diagstep import diag_step_supported
+
+        use_fused = diag_step_supported(n, neq, B)
+    else:
+        use_fused = False
+    if use_fused:
+        from ..ops.pallas.lanes import pad_batch_lanes, pad_up
+
+        interp = jax.default_backend() != "tpu"
+        Bp = B if interp else pad_batch_lanes(max(B, 128))
+        n_p, q_p = pad_up(n), pad_up(neq)
+        A_t = jnp.transpose(A, (1, 2, 0))                    # (neq, n, 1)
+        A_t = jnp.pad(A_t, ((0, q_p - neq), (0, n_p - n), (0, 0)))
+        g_t_fused = jnp.pad(jnp.swapaxes(g, 0, 1),
+                            ((0, 0), (0, Bp - B)))
+
+        def _lanes(v, fill=0.0):
+            return jnp.pad(jnp.swapaxes(v, 0, 1),
+                           ((0, 0), (0, Bp - B)), constant_values=fill)
+
+        def fused_step(x, s, z, y, rx, rz, ry):
+            from ..ops.pallas.diagstep import diag_step_lanes
+
+            d = z / s
+            H = q + g * g * d
+            Aw = A * (1.0 / H)[:, None, :]                   # (B, neq, n)
+            M = jnp.einsum("bin,bjn->bij", Aw,
+                           jnp.broadcast_to(A, Aw.shape),
+                           preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)
+            from ..ops.pallas.lanes import pad_spd_lanes
+
+            M_t = pad_spd_lanes(jnp.transpose(M, (1, 2, 0)))
+            if Bp != B:
+                M_t = jnp.pad(M_t, ((0, 0), (0, 0), (0, Bp - B)))
+            xo, so, zo, yo = diag_step_lanes(
+                M_t, A_t, g_t_fused, _lanes(H, 1.0), _lanes(rx),
+                _lanes(rz), _lanes(ry),
+                _lanes(x), _lanes(s, 1.0), _lanes(z, 1.0), _lanes(y),
+                n_correctors=config.n_correctors, interpret=interp)
+            return (jnp.swapaxes(xo[:, :B], 0, 1),
+                    jnp.swapaxes(so[:, :B], 0, 1),
+                    jnp.swapaxes(zo[:, :B], 0, 1),
+                    jnp.swapaxes(yo[:, :B], 0, 1))
+
     def solve_newton(H, fac, rx, rs, rz, ry, d):
         """Solve the H-system; any residual block may be None
         (structurally zero — the corrector's RHS is rs-only, the
@@ -288,6 +340,8 @@ def solve_diag(q, p, g, h, A, b, config: SolverConfig,
 
         def do_step(args):
             x, s, z, y = args
+            if use_fused:
+                return fused_step(x, s, z, y, rx, rz, ry)
             d = z / s
             H, fac = factor(d)
 

@@ -192,6 +192,39 @@ def test_diag_float32(rng):
                         rtol=1e-2)
 
 
+@pytest.mark.parametrize("n_correctors", [0, 2])
+def test_diag_fused_step_matches_composed(rng, n_correctors):
+    """The fused structured-step kernel (ops/pallas/diagstep.py, run in
+    interpret mode on CPU) produces the same trajectory as the composed
+    path."""
+    n, neq, B = 12, 5, 8
+    q, p, g, h, A, b = _diag_qp(rng, n=n, neq=neq, nbatch=B, shared=True)
+    args = [jnp.asarray(v, jnp.float32) for v in (q, p, g, h, A, b)]
+    cfg = qpth_tpu.SolverConfig(use_pallas=True, check_Q_spd=False,
+                                max_iter=6, n_correctors=n_correctors,
+                                fused_diag_step=True)
+    sol_f = qpth_tpu.solve_qp_diag_full(*args, config=cfg)
+
+    import qpth_tpu.ops.pallas.diagstep as ds
+    import qpth_tpu.core.diag as diag_core
+
+    # Force the composed path by disabling the fused support check.
+    orig = ds.diag_step_supported
+    try:
+        ds.diag_step_supported = lambda *a, **k: False
+        sol_c = qpth_tpu.solve_qp_diag_full(*args, config=cfg)
+    finally:
+        ds.diag_step_supported = orig
+
+    npt.assert_allclose(np.asarray(sol_f.z), np.asarray(sol_c.z),
+                        atol=2e-4, rtol=1e-3)
+    npt.assert_allclose(np.asarray(sol_f.lam), np.asarray(sol_c.lam),
+                        atol=2e-4, rtol=1e-3)
+    npt.assert_allclose(np.asarray(sol_f.nu), np.asarray(sol_c.nu),
+                        atol=2e-3, rtol=1e-2)
+    assert int(sol_f.stats.iterations) == int(sol_c.stats.iterations)
+
+
 def test_diag_warm_start(rng):
     q, p, g, h, A, b = _diag_qp(rng, n=8, neq=2, nbatch=4)
     args = [jnp.asarray(v) for v in (q, p, g, h, A, b)]
