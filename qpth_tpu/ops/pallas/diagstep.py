@@ -52,7 +52,7 @@ def diag_step_supported(n: int, neq: int, B: int) -> bool:
 def _kernel(m_ref, a_ref, g_ref, h_ref, rx_ref, rz_ref, ry_ref,
             x_ref, s_ref, z_ref, y_ref,
             xo_ref, so_ref, zo_ref, yo_ref, u_vmem,
-            *, n, n_p, q, q_p, bt, g_shared, n_correctors):
+            *, n, n_p, q, q_p, bt, n_correctors):
     dtype = x_ref.dtype
 
     # [M | I] into scratch; factor+invert in place (no diagonal shift).
@@ -184,7 +184,7 @@ def diag_step_lanes(M_t, A_t, g_t, H_t, rx_t, rz_t, ry_t,
         _kernel(m_ref, a_ref, g_ref, h_ref, rx_ref, rz_ref, ry_ref,
                 x_ref, s_ref, z_ref, y_ref,
                 xo_ref, so_ref, zo_ref, yo_ref, u_vmem,
-                n=n, n_p=n_p, q=q, q_p=q_p, bt=bt, g_shared=g_shared,
+                n=n, n_p=n_p, q=q, q_p=q_p, bt=bt,
                 n_correctors=n_correctors)
 
     vec = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i),  # noqa
