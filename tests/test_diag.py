@@ -225,6 +225,26 @@ def test_diag_fused_step_matches_composed(rng, n_correctors):
     assert int(sol_f.stats.iterations) == int(sol_c.stats.iterations)
 
 
+@pytest.mark.parametrize("n,neq,B", [(1, 0, 1), (2, 1, 3), (9, 8, 2),
+                                     (16, 7, 5)])
+def test_diag_odd_shapes(rng, n, neq, B):
+    """Edge shapes (tiny n, nearly-square A, batch 1) solve and satisfy
+    the KKT conditions."""
+    q, p, g, h, A, b = _diag_qp(rng, n=n, neq=neq, nbatch=B)
+    args = [jnp.asarray(v) if v is not None else None
+            for v in (q, p, g, h, A, b)]
+    sol = qpth_tpu.solve_qp_diag_full(*args)
+    z, lam, s, nu = map(np.asarray, (sol.z, sol.lam, sol.s, sol.nu))
+    stat = q * z + p + g * lam
+    if neq:
+        stat = stat + np.einsum("ben,be->bn", A, nu)
+        npt.assert_allclose(np.einsum("ben,bn->be", A, z) - b, 0,
+                            atol=1e-6)
+    npt.assert_allclose(stat, 0, atol=1e-6)
+    npt.assert_allclose(g * z + s - h, 0, atol=1e-6)
+    assert (s > -1e-9).all() and (lam > -1e-9).all()
+
+
 def test_diag_warm_start(rng):
     q, p, g, h, A, b = _diag_qp(rng, n=8, neq=2, nbatch=4)
     args = [jnp.asarray(v) for v in (q, p, g, h, A, b)]
