@@ -12,7 +12,7 @@ from . import nn, parallel, profiling, solvers, sparse, utils  # noqa: F401
 from .config import (KKTSolver, QPSolution, QPSolvers,  # noqa: F401
                      SolverConfig, SolveStats)
 from .qp import (DEFAULT_CONFIG, QPFunction, prefactor_qp,  # noqa: F401
-                 solve_qp, solve_qp_full)
+                 solve_qp, solve_qp_eq, solve_qp_full)
 from .diagqp import solve_qp_diag, solve_qp_diag_full  # noqa: F401
 from .core.single import solve_single  # noqa: F401
 from .sparse import SpQPFunction  # noqa: F401

@@ -330,6 +330,41 @@ def prefactor_qp(Q, G, A=None, config: SolverConfig = DEFAULT_CONFIG):
         Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
 
 
+def solve_qp_eq(Q, p, A=None, b=None):
+    """Equality-constrained (or unconstrained) batched QP:
+
+        min_x 1/2 x^T Q x + p^T x   s.t.  A x = b
+
+    solved in closed form via the Schur complement of the saddle system
+    (one Cholesky of Q + one of A Q^-1 A^T — no IPM iterations).
+    Fully differentiable through plain autodiff (no custom_vjp needed:
+    the solution is a smooth function of the parameters).
+
+    The reference rejects nineq == 0 outright (qp.py:89); this completes
+    the API for the no-inequality case. Returns x of shape (B, nz).
+    """
+    A, b = normalize_constraints(A, b)
+    B = extract_nbatch(Q, p, None, None, A, b)
+    Qb, _ = as_batched(Q, 3)
+    pb, _ = as_batched(p, 2)
+    pb = jnp.broadcast_to(pb, (B,) + pb.shape[1:])
+    from .ops.linalg import bmv, btmv, cho_solve, cho_solve_vec, cholesky
+
+    L_Q = cholesky(Qb)
+    if A is None:
+        return cho_solve_vec(L_Q, -pb)
+    Ab, _ = as_batched(A, 3)
+    bb, _ = as_batched(b, 2)
+    bb = jnp.broadcast_to(bb, (B,) + bb.shape[1:])
+    AT = jnp.swapaxes(Ab, -1, -2)
+    invQ_AT = cho_solve(L_Q, AT)
+    S11 = jnp.matmul(Ab, invQ_AT, precision=jax.lax.Precision.HIGHEST)
+    L_S = cholesky(S11)
+    iQp = cho_solve_vec(L_Q, pb)
+    y = -cho_solve_vec(L_S, bb + bmv(Ab, iQp))
+    return cho_solve_vec(L_Q, -pb - btmv(Ab, y))
+
+
 def QPFunction(eps: float = 1e-12, verbose: int = 0,
                notImprovedLim: int = 3, maxIter: int = 20,
                solver: QPSolvers = QPSolvers.PDIPM_BATCHED,

@@ -59,6 +59,35 @@ def test_qpfunction_kwargs_forwarding(rng):
     assert np.isfinite(np.asarray(z)).all()
 
 
+def test_solve_qp_eq_closed_form(rng):
+    """Equality-only QPs (rejected by the reference, qp.py:89) solve in
+    closed form, differentiably."""
+    nz, neq, B = 8, 3, 4
+    L = rng.randn(nz, nz)
+    Q = L @ L.T + 1e-3 * np.eye(nz)
+    A = rng.randn(neq, nz)
+    p = rng.randn(B, nz)
+    b = rng.randn(B, neq)
+    x = qpth_tpu.solve_qp_eq(jnp.asarray(Q), jnp.asarray(p),
+                             jnp.asarray(A), jnp.asarray(b))
+    # KKT: Ax = b and Qx + p in range(A^T).
+    npt.assert_allclose(np.einsum("en,bn->be", A, np.asarray(x)), b,
+                        atol=1e-9)
+    r = np.asarray(x) @ Q.T + p
+    # Project the stationarity residual out of range(A^T): must vanish.
+    P = np.eye(nz) - A.T @ np.linalg.solve(A @ A.T, A)
+    npt.assert_allclose(r @ P.T, 0, atol=1e-8)
+
+    # Differentiable through plain autodiff; unconstrained case too.
+    g = jax.grad(lambda p_: jnp.sum(qpth_tpu.solve_qp_eq(
+        jnp.asarray(Q), p_, jnp.asarray(A), jnp.asarray(b)) ** 2))(
+            jnp.asarray(p))
+    assert np.isfinite(np.asarray(g)).all()
+    x0 = qpth_tpu.solve_qp_eq(jnp.asarray(Q), jnp.asarray(p))
+    npt.assert_allclose(np.asarray(x0), -np.linalg.solve(Q, p.T).T,
+                        atol=1e-9)
+
+
 def test_check_Q_spd_raises_eagerly(rng):
     Q, p, G, h, A, b = make_feasible_qp(rng, nz=6, nineq=3, neq=2)
     Q_bad = np.asarray(Q).copy()
