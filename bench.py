@@ -28,9 +28,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 REF_BATCH = int(os.environ.get("BENCH_REF_BATCH", 64))
 TRIALS = int(os.environ.get("BENCH_TRIALS", 5))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 6))
-#: "fwd" (headline: forward solves/sec) or "fwdbwd" (training step:
-#: forward + implicit-KKT backward to all params per rep).
-MODE = os.environ.get("BENCH_MODE", "fwd")
+#: "both" (default: one run measures the fwd headline AND the fwd+bwd
+#: training-step rate), "fwd", or "fwdbwd".
+MODE = os.environ.get("BENCH_MODE", "both")
 
 
 def make_problem(nbatch, nz, nineq, seed=0):
@@ -45,7 +45,7 @@ def make_problem(nbatch, nz, nineq, seed=0):
     return Q, p, G, h
 
 
-def bench_ours():
+def bench_ours(mode):
     import jax
 
     try:  # persistent compile cache: pallas kernel compiles are expensive
@@ -62,6 +62,7 @@ def bench_ours():
     dt = jnp.float32
     args = [jnp.asarray(v, dt) for v in (Q, p, G, h)]
     cfg = qpth_tpu.SolverConfig(check_Q_spd=False)
+    MODE = mode
 
     # Steady-state throughput: REPEATS dependent solves inside one
     # dispatch, so per-dispatch host/runtime latency (tens of ms through
@@ -119,7 +120,29 @@ def bench_ours():
     return BATCH / per_solve, conv, per_solve
 
 
-def bench_reference():
+def reference_qps(mode):
+    """Reference (torch qpth) QPs/sec for vs_baseline: the PINNED
+    measurement from BASELINE_REF.json by default (see its "source" field
+    — live 2-trial re-measures made vs_baseline swing round-over-round
+    with host core count), or a live measurement with
+    BENCH_REF_REMEASURE=1 / when the pinned file is missing."""
+    if not int(os.environ.get("BENCH_REF_REMEASURE", "0")):
+        pinned = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_REF.json")
+        try:
+            with open(pinned) as f:
+                ref = json.load(f)
+            w = ref.get("workload", {})
+            if (w.get("nz"), w.get("nineq"), w.get("batch")) == \
+                    (NZ, NINEQ, REF_BATCH):
+                return ref[("fwdbwd" if mode == "fwdbwd" else "fwd")
+                           + "_qps"]
+        except (OSError, KeyError, ValueError):
+            pass
+    return bench_reference(mode)
+
+
+def bench_reference(mode):
     """Reference qpth (torch) on the same workload shape. Returns QPs/sec
     or None if unavailable."""
     try:
@@ -138,7 +161,7 @@ def bench_reference():
     t = lambda x: torch.tensor(
         x, dtype=torch.float64, device="cuda" if cuda else "cpu")
     e = torch.tensor([])
-    grad = MODE == "fwdbwd"
+    grad = mode == "fwdbwd"
     args = [t(Q).requires_grad_(grad), t(p).requires_grad_(grad),
             t(G), t(h), e, e]
     f = QPFunction(verbose=-1, check_Q_spd=False)
@@ -158,17 +181,25 @@ def bench_reference():
 
 
 def main():
-    qps, max_resid, secs = bench_ours()
-    ref_qps = bench_reference()
-    vs = (qps / ref_qps) if ref_qps else -1.0
-    kind = "fwd+bwd" if MODE == "fwdbwd" else "fwd"
-    print(json.dumps({
+    modes = ("fwd", "fwdbwd") if MODE == "both" else (MODE,)
+    res = {}
+    for mode in modes:
+        qps, max_resid, secs = bench_ours(mode)
+        ref = reference_qps(mode)
+        res[mode] = (qps, (qps / ref) if ref else -1.0)
+    head = modes[0]
+    kind = "fwd+bwd" if head == "fwdbwd" else "fwd"
+    out = {
         "metric": f"batched QPs solved/sec (nz={NZ}, nineq={NINEQ}, "
                   f"batch={BATCH}, {kind}, f32)",
-        "value": round(qps, 1),
+        "value": round(res[head][0], 1),
         "unit": "qps",
-        "vs_baseline": round(vs, 2),
-    }))
+        "vs_baseline": round(res[head][1], 2),
+    }
+    if "fwdbwd" in res and head != "fwdbwd":
+        out["fwdbwd_qps"] = round(res["fwdbwd"][0], 1)
+        out["fwdbwd_vs_baseline"] = round(res["fwdbwd"][1], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

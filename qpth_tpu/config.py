@@ -133,6 +133,26 @@ class SolverConfig:
     #: path's small lanes kernels plus XLA's own elementwise fusion
     #: already saturate); kept for larger-neq experimentation.
     fused_diag_step: bool = False
+    #: How often the true KKT residuals (the per-iteration Q x / G^T z /
+    #: G x matvecs of batch.py:94-107, ~25% of fused-path iteration time)
+    #: are recomputed. 1 = every iteration (reference semantics).
+    #: k > 1 = recompute only every k-th iteration ("checkpoints") and in
+    #: between track the residual norms analytically: the combined IPM
+    #: direction satisfies the Newton equations exactly, so every
+    #: feasibility residual scales by exactly (1 - alpha) per step —
+    #: r_new = (1 - alpha) r — and the norms are per-lane scalars
+    #: (complementarity mu is always computed exactly; it is elementwise).
+    #: Best-iterate selection and the not-improved window then operate on
+    #: the exact checkpoint scores (the window counter advances by k per
+    #: non-improving checkpoint), and after the loop the final iterate's
+    #: exact score is computed and wins where it beats the checkpoint
+    #: best, so the returned solution and reported stats are always
+    #: exactly scored. 0 = no in-loop recompute at all (score at init +
+    #: final exact rescore only — maximum throughput).
+    #: None = auto: 1 at float64 (bit-level reference parity), 4 below.
+    #: Only the cached-product fast path tracks; other paths recompute
+    #: every iteration regardless.
+    resid_every: int | None = None
     #: Gondzio multiple centrality correctors per iteration (beyond the
     #: reference's single Mehrotra corrector). Each one costs a single
     #: back-solve on the cached factorization and is accepted per-lane

@@ -85,6 +85,8 @@ class _IPMState(NamedTuple):
     lane_done: jnp.ndarray        # (B,) bool; latched (per-lane mode only)
     it: jnp.ndarray               # scalar int32
     done: jnp.ndarray             # scalar bool
+    pri: jnp.ndarray              # (B,) tracked primal-residual norm
+    dual: jnp.ndarray             # (B,) tracked dual-residual norm
 
 
 def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
@@ -140,6 +142,13 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     # so neither Q^-1 itself nor a second G read appears in the loop.
     fast = (config.kkt_solver == KKTSolver.CHOL_PARTIAL
             and solver_factors.invQ_GT is not None)
+    # Tracked-residual mode (see SolverConfig.resid_every): replace the
+    # per-iteration residual matvecs by exact per-lane norm scaling
+    # r_new = (1 - alpha) r, with exact recomputes at checkpoints.
+    resid_every = config.resid_every
+    if resid_every is None:
+        resid_every = 1 if jnp.dtype(dtype).itemsize >= 8 else 4
+    track = fast and resid_every != 1
     if fast:
         fs = solver_factors
         invQ_p = kkt_ops.bmv(fs.invQ, p)
@@ -289,7 +298,22 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         lane_done=jnp.zeros((B,), bool),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
+        pri=jnp.zeros((B,), dtype),
+        dual=jnp.zeros((B,), dtype),
     )
+
+    def exact_pri_dual(x, s, z, y):
+        """(pri, dual) residual norms, computed from scratch."""
+        rx = kkt_ops.bmv(Q, x) + p + kkt_ops.btmv(G, z)
+        if neq > 0:
+            rx = rx + kkt_ops.btmv(A, y)
+            y_resid = jnp.linalg.norm(kkt_ops.bmv(A, x) - b, axis=-1)
+        else:
+            y_resid = jnp.zeros((B,), dtype)
+        rz = kkt_ops.bmv(G, x) + s - h
+        pri = y_resid + jnp.linalg.norm(rz, axis=-1)
+        dual = jnp.linalg.norm(rx, axis=-1)
+        return pri, dual
 
     def residuals(x, s, z, y):
         """batch.py:94-107."""
@@ -313,7 +337,22 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
     def body_fn(st: _IPMState):
         x, s, z, y = st.x, st.s, st.z, st.y
-        rx, rz, ry, mu, resids, pri, dual = residuals(x, s, z, y)
+        if track:
+            # mu is exact every iteration (elementwise); the feasibility
+            # norms are the carried (1 - alpha)-scaled values except at
+            # checkpoints, where they are recomputed from scratch.
+            mu = jnp.abs((s * z).sum(axis=-1) / nineq)
+            if resid_every == 0:
+                exact_now = st.it == 0
+            else:
+                exact_now = (st.it % resid_every) == 0
+            pri, dual = lax.cond(exact_now,
+                                 lambda: exact_pri_dual(x, s, z, y),
+                                 lambda: (st.pri, st.dual))
+            resids = pri + dual + nineq * mu
+            rx = rz = ry = None
+        else:
+            rx, rz, ry, mu, resids, pri, dual = residuals(x, s, z, y)
 
         if config.verbose >= 1 and _runtime_supports_callbacks():
             jax.debug.print(
@@ -324,9 +363,15 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         # Best-iterate bookkeeping (batch.py:118-139). The improvement
         # test optionally requires a relative margin (see
         # SolverConfig.improve_margin); best-iterate tracking itself stays
-        # strict so the returned solution is always the true best.
+        # strict so the returned solution is always the true best. In
+        # tracked mode only checkpoint (exactly-scored) iterates enter the
+        # bookkeeping — the final iterate is exactly rescored after the
+        # loop, so no tracked (optimistic) score is ever recorded.
         improved_strict = resids < st.best_resids
         improved = resids < st.best_resids * (1.0 - improve_margin)
+        if track:
+            improved_strict = improved_strict & exact_now
+            improved = improved & exact_now
         best_resids = jnp.where(improved_strict, resids, st.best_resids)
         imp_col = improved_strict[:, None]
         best_x = jnp.where(imp_col, x, st.best_x)
@@ -334,17 +379,33 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         best_z = jnp.where(imp_col, z, st.best_z)
         best_y = jnp.where(imp_col, y, st.best_y) if neq > 0 else st.best_y
 
+        # The not-improved window advances once per scoring event: every
+        # iteration normally, every checkpoint (by resid_every) in
+        # tracked mode.
+        inc = max(resid_every, 1) if track else 1
+        tick = exact_now if track else True
         if per_lane_term:
-            n_not = jnp.where(improved, 0, st.n_not_improved + 1)
+            n_not = jnp.where(tick,
+                              jnp.where(improved, 0,
+                                        st.n_not_improved + inc),
+                              st.n_not_improved)
             lane_done = st.lane_done | (n_not >= config.not_improved_lim)
             window_done = _greduce(lane_done.all(), "min", axis)
         else:
             any_improved = _greduce(improved.any(), "max", axis)
-            n_not = jnp.where(any_improved, 0, st.n_not_improved + 1)
+            n_not = jnp.where(tick,
+                              jnp.where(any_improved, 0,
+                                        st.n_not_improved + inc),
+                              st.n_not_improved)
             lane_done = st.lane_done
             window_done = n_not >= config.not_improved_lim
 
         max_best = _greduce(best_resids.max(), "max", axis)
+        if track:
+            # Also test the current tracked score so a solve converging
+            # between checkpoints exits promptly.
+            max_best = jnp.minimum(max_best,
+                                   _greduce(resids.max(), "max", axis))
         min_mu = _greduce(mu.min(), "min", axis)
         done = (
             window_done
@@ -353,12 +414,15 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         )
 
         def do_step(args):
+            """One predictor-corrector step; returns the updated state and
+            the applied per-lane damped step length (0 on frozen lanes)."""
             x, s, z, y = args
             if use_fused:
-                x, s, z = fused_do_step(x, s, z)
-                return x, s, z, y
+                x, s, z, a_l = fused_do_step(x, s, z)
+                return x, s, z, y, a_l
             if use_fused_eq:
-                return fused_do_step_eq(x, s, z, y)
+                x, s, z, y, a_l = fused_do_step_eq(x, s, z, y)
+                return x, s, z, y, a_l
             d = z / s
             # Predictor: affine direction with RHS (rx, z, rz, ry)
             # (batch.py:98 sets rs := z); factor fused with this solve,
@@ -450,9 +514,19 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             z = z + alpha * jnp.where(mask, 0.0, dz)
             if neq > 0:
                 y = y + alpha * jnp.where(mask, 0.0, dy)
-            return x, s, z, y
+            return x, s, z, y, alpha[:, 0]
 
-        x, s, z, y = lax.cond(done, lambda a: a, do_step, (x, s, z, y))
+        x, s, z, y, alpha_l = lax.cond(
+            done,
+            lambda a: a + (jnp.zeros((B,), dtype),),
+            do_step, (x, s, z, y))
+
+        if track:
+            # The combined direction solves the Newton system exactly, so
+            # each feasibility residual becomes (1 - alpha) r — the norms
+            # scale by the same nonnegative factor.
+            scale = 1.0 - alpha_l
+            pri, dual = pri * scale, dual * scale
 
         return _IPMState(
             x=x, s=s, z=z, y=y,
@@ -460,9 +534,31 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             best_resids=best_resids, mu=mu,
             n_not_improved=n_not, lane_done=lane_done,
             it=st.it + 1, done=done,
+            pri=pri, dual=dual,
         )
 
     final = lax.while_loop(cond_fn, body_fn, state)
+
+    if track:
+        # Exactly rescore the final iterate (its iterations since the last
+        # checkpoint were never scored) and return it wherever it beats
+        # the recorded checkpoint best — all reported residuals are exact.
+        y_arg = final.y if neq > 0 else None
+        rx_f, rz_f, ry_f, mu_f = kkt_ops.kkt_residuals(
+            Q, p, G, h, A, b, final.x, final.s, final.z, y_arg)
+        pri_f = jnp.linalg.norm(rz_f, axis=-1)
+        if neq > 0:
+            pri_f = pri_f + jnp.linalg.norm(ry_f, axis=-1)
+        score_f = pri_f + jnp.linalg.norm(rx_f, axis=-1) + nineq * mu_f
+        take = (score_f < final.best_resids)[:, None]
+        final = final._replace(
+            best_x=jnp.where(take, final.x, final.best_x),
+            best_s=jnp.where(take, final.s, final.best_s),
+            best_z=jnp.where(take, final.z, final.best_z),
+            best_y=(jnp.where(take, final.y, final.best_y)
+                    if neq > 0 else final.best_y),
+            best_resids=jnp.minimum(score_f, final.best_resids),
+        )
 
     # The reference prints INACC_ERR when the best residual exceeds 1
     # unless silenced with verbose < 0 (batch.py:141-142, 205-206) — same

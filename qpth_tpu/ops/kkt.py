@@ -322,12 +322,13 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
         x_t = _pad_lanes(jnp.swapaxes(x, 0, 1), 0.0)
         s_t = _pad_lanes(jnp.swapaxes(s, 0, 1), 1.0)
         z_t = _pad_lanes(jnp.swapaxes(z, 0, 1), 1.0)
-        xo, so, zo = ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t,
-                                    n_correctors=n_correctors,
-                                    interpret=interpret)
+        xo, so, zo, ao = ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t,
+                                        ip_t, n_correctors=n_correctors,
+                                        interpret=interpret)
         return (jnp.swapaxes(xo[:, :B], 0, 1),
                 jnp.swapaxes(so[:, :B], 0, 1),
-                jnp.swapaxes(zo[:, :B], 0, 1))
+                jnp.swapaxes(zo[:, :B], 0, 1),
+                ao[0, :B])
 
     def _mat_lanes(Mb, rows_pad, cols_pad):
         """(b, r, c) batch-major -> (r_p, c_p, b_p) lanes layout."""
@@ -366,14 +367,15 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
         s_t = _pad_lanes(jnp.swapaxes(s, 0, 1), 1.0)
         z_t = _pad_lanes(jnp.swapaxes(z, 0, 1), 1.0)
         y_t = _pad_lanes(jnp.swapaxes(y, 0, 1), 0.0)
-        xo, so, zo, yo = ipm_step_eq_lanes(
+        xo, so, zo, yo, ao = ipm_step_eq_lanes(
             R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
             x_t, s_t, z_t, y_t, q_t, ip_t, rb_t,
             n_correctors=n_correctors, interpret=interpret)
         return (jnp.swapaxes(xo[:, :B], 0, 1),
                 jnp.swapaxes(so[:, :B], 0, 1),
                 jnp.swapaxes(zo[:, :B], 0, 1),
-                jnp.swapaxes(yo[:, :B], 0, 1))
+                jnp.swapaxes(yo[:, :B], 0, 1),
+                ao[0, :B])
 
     return KKTBackend(prepare=prepare, factor=factor, solve2=solve2,
                       factor_solve=factor_solve,

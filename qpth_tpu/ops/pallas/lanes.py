@@ -198,10 +198,10 @@ def _factor_kernel(r_hbm, dinv_ref, lt_hbm, t_vmem, sem_in, sem_out,
 
 def _factor_specs(n, n_p, B, bt, dtype, with_rhs, shared=False):
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = jax.ShapeDtypeStruct((n_p, n_p, B), dtype)
     if with_rhs:
         in_specs.append(
@@ -496,8 +496,8 @@ def _factor_inv_call(R_t, dinv_t, rhs_t, interpret, z_t=None):
 
     vec_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), vec_spec]
-    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), vec_spec]
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = jax.ShapeDtypeStruct((n_p, n_p, B), dtype)
     if with_rhs:
         in_specs.append(vec_spec)
@@ -608,7 +608,7 @@ def _step_lanes(v, dv, big=3.4e38):
 
 
 def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
-                     xo_ref, so_ref, zo_ref, u_vmem, igt_vmem,
+                     xo_ref, so_ref, zo_ref, ao_ref, u_vmem, igt_vmem,
                      sem_r, sem_g, *, nz, nz_p, m, m_p, bt, whole,
                      shared_r, shared_g, n_correctors, r1_vmem=None):
     i = pl.program_id(0)
@@ -719,6 +719,10 @@ def _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
     xo_ref[...] = x + alpha2 * jnp.where(frozen, 0.0, dx)
     so_ref[...] = s + alpha2 * jnp.where(frozen, 0.0, ds)
     zo_ref[...] = z + alpha2 * jnp.where(frozen, 0.0, dz)
+    # The applied damped step length, for the caller's incremental
+    # residual tracking (the feasibility residuals scale by exactly
+    # 1 - alpha per iteration; see pdipm.solve's tracked-residual mode).
+    ao_ref[...] = alpha2
 
 
 def _mv_slabs(read, v_pad, out_n):
@@ -742,7 +746,7 @@ def _mtv_slabs(read, v, in_n, out_p, bt, dtype):
 
 def _ipm_step_eq_kernel(r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm,
                         iat_hbm, x_ref, s_ref, z_ref, y_ref, q_ref, ip_ref,
-                        rb_ref, xo_ref, so_ref, zo_ref, yo_ref,
+                        rb_ref, xo_ref, so_ref, zo_ref, yo_ref, ao_ref,
                         u_vmem, igt_vmem, s21_vmem, w_vmem, is11_vmem,
                         s11_vmem, iat_vmem, sems,
                         *, nz, nz_p, m, m_p, neq, neq_p, bt, whole,
@@ -895,6 +899,7 @@ def _ipm_step_eq_kernel(r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm,
     so_ref[...] = s + alpha2 * jnp.where(frozen, 0.0, ds)
     zo_ref[...] = z + alpha2 * jnp.where(frozen, 0.0, dz)
     yo_ref[...] = y + alpha2 * jnp.where(frozen, 0.0, dy)
+    ao_ref[...] = alpha2    # see _ipm_step_kernel's alpha-output comment
 
 
 def _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt):
@@ -915,7 +920,8 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
     """One fused IPM iteration (neq == 0). Lanes layout:
     R_t (m_p, m_p, bR); iGT_t = (Q^-1 G^T)^T-layout (nz_p, m_p, B);
     x_t (nz, B); s_t, z_t, q_t (m, B); ip_t = (Q^-1 p)^T (nz, B).
-    Returns updated (x_t, s_t, z_t)."""
+    Returns updated (x_t, s_t, z_t, alpha_t) with alpha_t (1, B) the
+    applied damped step length (0 for NaN-frozen lanes)."""
     if interpret is None:
         interpret = _default_interpret()
     m, B = s_t.shape
@@ -929,10 +935,11 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
     whole = bt == B
 
     def kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref, ip_ref,
-               xo_ref, so_ref, zo_ref, u_vmem, igt_vmem, sem_r, sem_g,
-               *scr):
+               xo_ref, so_ref, zo_ref, ao_ref, u_vmem, igt_vmem,
+               sem_r, sem_g, *scr):
         _ipm_step_kernel(r_hbm, igt_hbm, x_ref, s_ref, z_ref, q_ref,
-                         ip_ref, xo_ref, so_ref, zo_ref, u_vmem, igt_vmem,
+                         ip_ref, xo_ref, so_ref, zo_ref, ao_ref,
+                         u_vmem, igt_vmem,
                          sem_r, sem_g, nz=nz, nz_p=nz_p, m=m, m_p=m_p,
                          bt=bt, whole=whole, shared_r=shared,
                          shared_g=shared_g, n_correctors=n_correctors,
@@ -952,15 +959,16 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
         kernel,
         grid=(B // bt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             vec(nz), vec(m), vec(m), vec(m), vec(nz),
         ],
-        out_specs=[vec(nz), vec(m), vec(m)],
+        out_specs=[vec(nz), vec(m), vec(m), vec(1)],
         out_shape=[
             jax.ShapeDtypeStruct((nz, B), x_t.dtype),
             jax.ShapeDtypeStruct((m, B), x_t.dtype),
             jax.ShapeDtypeStruct((m, B), x_t.dtype),
+            jax.ShapeDtypeStruct((1, B), x_t.dtype),
         ],
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -990,7 +998,7 @@ def ipm_step_eq_lanes(R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
     R_t (m_p, m_p, bR); iGT_t (nz_p, m_p, bG); S21_t (m_p, neq_p, bE);
     W_t (neq_p, m_p, bE); iS11_t/S11_t (neq_p, neq_p, bE);
     iAT_t (nz_p, neq_p, bE); vectors x (nz, B), s/z/q (m, B),
-    y/rb (neq, B), ip (nz, B). Returns (x', s', z', y')."""
+    y/rb (neq, B), ip (nz, B). Returns (x', s', z', y', alpha_t)."""
     if interpret is None:
         interpret = _default_interpret()
     m, B = s_t.shape
@@ -1005,13 +1013,13 @@ def ipm_step_eq_lanes(R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
 
     def kernel(r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm, iat_hbm,
                x_ref, s_ref, z_ref, y_ref, q_ref, ip_ref, rb_ref,
-               xo_ref, so_ref, zo_ref, yo_ref,
+               xo_ref, so_ref, zo_ref, yo_ref, ao_ref,
                u_vmem, igt_vmem, s21_vmem, w_vmem, is11_vmem, s11_vmem,
                iat_vmem, sems, *scr):
         _ipm_step_eq_kernel(
             r_hbm, igt_hbm, s21_hbm, w_hbm, is11_hbm, s11_hbm, iat_hbm,
             x_ref, s_ref, z_ref, y_ref, q_ref, ip_ref, rb_ref,
-            xo_ref, so_ref, zo_ref, yo_ref,
+            xo_ref, so_ref, zo_ref, yo_ref, ao_ref,
             u_vmem, igt_vmem, s21_vmem, w_vmem, is11_vmem, s11_vmem,
             iat_vmem, sems, nz=nz, nz_p=nz_p, m=m, m_p=m_p, neq=neq,
             neq_p=neq_p, bt=bt, whole=whole, shared_r=shared_r,
@@ -1020,7 +1028,7 @@ def ipm_step_eq_lanes(R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
 
     vec = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i),  # noqa
                                     memory_space=pltpu.VMEM)
-    any_ = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
     be = 1 if shared_eq else bt
     scratch = [
         pltpu.VMEM((m_p, 2 * m_p, bt), x_t.dtype),
@@ -1039,12 +1047,13 @@ def ipm_step_eq_lanes(R_t, iGT_t, S21_t, W_t, iS11_t, S11_t, iAT_t,
         grid=(B // bt,),
         in_specs=[any_] * 7 + [vec(nz), vec(m), vec(m), vec(neq), vec(m),
                                vec(nz), vec(neq)],
-        out_specs=[vec(nz), vec(m), vec(m), vec(neq)],
+        out_specs=[vec(nz), vec(m), vec(m), vec(neq), vec(1)],
         out_shape=[
             jax.ShapeDtypeStruct((nz, B), x_t.dtype),
             jax.ShapeDtypeStruct((m, B), x_t.dtype),
             jax.ShapeDtypeStruct((m, B), x_t.dtype),
             jax.ShapeDtypeStruct((neq, B), x_t.dtype),
+            jax.ShapeDtypeStruct((1, B), x_t.dtype),
         ],
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(

@@ -87,10 +87,10 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
     if config.check_Q_spd:
         spd_check_eager(Qb)
     if Gb.shape[-2] == 0:
-        raise NotImplementedError(
-            "nineq == 0: use an equality-constrained solve; the IPM requires "
-            "at least one inequality (same restriction as the reference, "
-            "qp.py:89).")
+        raise ValueError(
+            "nineq == 0 reached the IPM path; call solve_qp / solve_qp_full "
+            "(which dispatch to the closed-form equality solver) or "
+            "solve_qp_eq directly.")
     if config.solver == QPSolvers.PDIPM_BATCHED:
         if factors is None:
             factors = kkt_ops.pre_factor_kkt(
@@ -289,7 +289,15 @@ def solve_qp(Q, p, G, h, A=None, b=None,
     solves with fixed (Q, G, A) — skips the one-time pre-factorization
     (receding-horizon MPC re-solves change only p/h/b). Carries no
     gradient itself; (Q, G, A) gradients stay exact.
+
+    ``nineq == 0`` (G/h None or zero-sized, the reference's empty-tensor
+    convention) dispatches to the closed-form equality solver
+    :func:`solve_qp_eq` — the case the reference rejects outright
+    (qp.py:89). That path is differentiable via plain autodiff.
     """
+    G, h = normalize_constraints(G, h)
+    if G is None:
+        return solve_qp_eq(Q, p, A, b)
     Qb, pb, Gb, hb, Ab, bb, meta = _canonicalize(Q, p, G, h, A, b)
     return _qp_core(Qb, pb, Gb, hb, Ab, bb, init, factors, config, meta)
 
@@ -302,7 +310,21 @@ def solve_qp_full(Q, p, G, h, A=None, b=None,
     Not differentiable — use :func:`solve_qp` for gradients. Supports the
     same warm start as :func:`solve_qp` (pass the previous QPSolution's
     (z, s, lam, nu) as (x, s, z, y) for receding-horizon workloads) and the
-    same cached ``factors`` (see :func:`prefactor_qp`)."""
+    same cached ``factors`` (see :func:`prefactor_qp`).
+
+    ``nineq == 0`` dispatches to the closed-form equality solver; the
+    returned ``lam``/``s`` are zero-width and stats report convergence."""
+    G, h = normalize_constraints(G, h)
+    if G is None:
+        x, y = _solve_qp_eq_core(Q, p, A, b)
+        B = x.shape[0]
+        dt = x.dtype
+        stats = SolveStats(iterations=jnp.ones((), jnp.int32),
+                           best_resids=jnp.zeros((B,), dt),
+                           mu=jnp.zeros((B,), dt),
+                           converged=jnp.ones((B,), bool))
+        return QPSolution(z=x, nu=y, lam=jnp.zeros((B, 0), dt),
+                          s=jnp.zeros((B, 0), dt), stats=stats)
     Qb, pb, Gb, hb, Ab, bb, _ = _canonicalize(Q, p, G, h, A, b)
     return _forward_batched(Qb, pb, Gb, hb, Ab, bb, config, init=init,
                             factors=factors)[0]
@@ -343,6 +365,12 @@ def solve_qp_eq(Q, p, A=None, b=None):
     The reference rejects nineq == 0 outright (qp.py:89); this completes
     the API for the no-inequality case. Returns x of shape (B, nz).
     """
+    return _solve_qp_eq_core(Q, p, A, b)[0]
+
+
+def _solve_qp_eq_core(Q, p, A=None, b=None):
+    """Closed-form equality-constrained solve returning (x, y) with y the
+    equality duals ((B, 0) when A is None)."""
     A, b = normalize_constraints(A, b)
     B = extract_nbatch(Q, p, None, None, A, b)
     Qb, _ = as_batched(Q, 3)
@@ -352,7 +380,8 @@ def solve_qp_eq(Q, p, A=None, b=None):
 
     L_Q = cholesky(Qb)
     if A is None:
-        return cho_solve_vec(L_Q, -pb)
+        x = cho_solve_vec(L_Q, -pb)
+        return x, jnp.zeros((B, 0), x.dtype)
     Ab, _ = as_batched(A, 3)
     bb, _ = as_batched(b, 2)
     bb = jnp.broadcast_to(bb, (B,) + bb.shape[1:])
@@ -362,7 +391,9 @@ def solve_qp_eq(Q, p, A=None, b=None):
     L_S = cholesky(S11)
     iQp = cho_solve_vec(L_Q, pb)
     y = -cho_solve_vec(L_S, bb + bmv(Ab, iQp))
-    return cho_solve_vec(L_Q, -pb - btmv(Ab, y))
+    y = jnp.broadcast_to(y, (B,) + y.shape[1:])
+    x = cho_solve_vec(L_Q, -pb - btmv(Ab, y))
+    return x, y
 
 
 def QPFunction(eps: float = 1e-12, verbose: int = 0,

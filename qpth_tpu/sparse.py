@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SolverConfig
+from .config import QPSolvers, SolverConfig
 from .qp import DEFAULT_CONFIG, solve_qp
 
 
@@ -93,7 +93,7 @@ class SpQPFunction:
             diag_ok = (bool((qi[0] == qi[1]).all())
                        and self.Gsz[0] == self.Gsz[1]
                        and bool((gi[0] == gi[1]).all())
-                       and config.solver.value == 1)  # PDIPM only
+                       and config.solver == QPSolvers.PDIPM_BATCHED)
             self.structure = "diag" if diag_ok else "dense"
 
     def __call__(self, Qv, p, Gv, h, Av, b):

@@ -70,5 +70,8 @@ def fd_grad(f, x, eps=1e-6):
 # Persistent XLA compile cache: the suite's wall time is dominated by
 # jit compiles of the while-loop solver at many distinct shapes; caching
 # them across runs (and CI rounds) cuts reruns by ~5-10x.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("QPTH_TPU_JAX_CACHE",
+                   os.path.join(os.path.expanduser("~"), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
