@@ -14,7 +14,8 @@ from .config import (KKTSolver, QPSolution, QPSolvers,  # noqa: F401
 from .qp import (DEFAULT_CONFIG, QPFunction, prefactor_qp,  # noqa: F401
                  solve_qp, solve_qp_eq, solve_qp_full)
 from .diagqp import solve_qp_diag, solve_qp_diag_full  # noqa: F401
+from .bandqp import solve_qp_banded, solve_qp_banded_full  # noqa: F401
 from .core.single import solve_single  # noqa: F401
 from .sparse import SpQPFunction  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -92,6 +92,13 @@ def _m_factor(A, w, use_pallas: bool):
     M = jnp.einsum("bin,bjn->bij", Aw, A,
                    preferred_element_type=w.dtype,
                    precision=lax.Precision.HIGHEST)
+    return _factor_spd(M, use_pallas)
+
+
+def _factor_spd(M, use_pallas: bool):
+    """Factor an already-assembled batched SPD M (B, k, k); returns the
+    opaque factor consumed by :func:`_m_solve`. Shared by the diagonal
+    and banded structured tiers."""
     if use_pallas:
         from ..ops.pallas.lanes import (factor_inv_lanes, pad_batch_lanes,
                                         pad_spd_lanes)
@@ -102,8 +109,8 @@ def _m_factor(A, w, use_pallas: bool):
         Bp = B if interp else pad_batch_lanes(max(B, 128))
         if Bp != B:
             M_t = jnp.pad(M_t, ((0, 0), (0, 0), (0, Bp - B)))
-        neq = A.shape[-2]
-        zero_d = jnp.zeros((neq, Bp), w.dtype)
+        k = M.shape[-1]
+        zero_d = jnp.zeros((k, Bp), M.dtype)
         G = factor_inv_lanes(M_t, zero_d, interpret=interp)
         return ("lanes", G, B)
     return ("xla", cholesky(M), None)

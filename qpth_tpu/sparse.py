@@ -18,12 +18,23 @@ in* — on two tiers:
    (neq x neq) normal-equations system assembled on the MXU — the
    TPU-native answer to the reference's batched sparse QR
    (``torch.spbqrfactsolve``, spbatch.py:255).
-2. **General patterns**: values are scattered into dense batched operands
+2. **Banded patterns** (block-tridiagonal Q after static blocking, G
+   diagonal — the MPC-chain / finite-horizon workload): dispatched to the
+   block-Thomas structured solver (:mod:`qpth_tpu.core.banded`), where
+   per-iteration cost drops from O(n^3) dense to O(nb * bs^3) — the
+   arbitrary-fixed-pattern scaling the reference gets from sparse QR,
+   delivered for the banded family. Cross-block entries are symmetrized
+   (half the value from each triangle lands in the shared subdiagonal
+   block slot), which matches the dense path exactly for symmetric
+   patterns; n is padded to a block multiple with decoupled dummy
+   variables (q=1, g=1, h=1, p=0) whose lanes never interact with the
+   real ones.
+3. **General patterns**: values are scattered into dense batched operands
    (a static gather/scatter XLA fuses away) and the dense Cholesky-Schur
    path runs on the MXU — for moderate sizes faster on TPU than any
    sparse triangular machinery.
 
-Gradients are gathered back to the pattern in both tiers, replacing the
+Gradients are gathered back to the pattern in all tiers, replacing the
 reference's boolean-mask trick (qp.py:229-248).
 """
 
@@ -83,23 +94,77 @@ class SpQPFunction:
         self.neq = self.Asz[0]
         # Static structure detection (patterns are fixed per instance, so
         # this is a construction-time numpy check, never traced): diagonal
-        # Q and diagonal square G qualify for the structured solver.
-        if structure not in ("auto", "diag", "dense"):
+        # Q and diagonal square G qualify for the diagonal structured
+        # solver; banded Q with diagonal G for the block-Thomas tier.
+        if structure not in ("auto", "diag", "banded", "dense"):
             raise ValueError(structure)
         self.structure = structure
         if structure == "auto":
             qi = np.asarray(self.Qi)
             gi = np.asarray(self.Gi)
-            diag_ok = (bool((qi[0] == qi[1]).all())
-                       and self.Gsz[0] == self.Gsz[1]
-                       and bool((gi[0] == gi[1]).all())
-                       and config.solver == QPSolvers.PDIPM_BATCHED)
-            self.structure = "diag" if diag_ok else "dense"
+            g_diag = (self.Gsz[0] == self.Gsz[1]
+                      and bool((gi[0] == gi[1]).all())
+                      and config.solver == QPSolvers.PDIPM_BATCHED)
+            diag_ok = g_diag and bool((qi[0] == qi[1]).all())
+            if diag_ok:
+                self.structure = "diag"
+            elif g_diag and self._plan_banded(qi):
+                self.structure = "banded"
+            else:
+                self.structure = "dense"
+        elif structure == "banded":
+            if not self._plan_banded(np.asarray(self.Qi)):
+                raise ValueError(
+                    "structure='banded' requires diagonal G and a banded "
+                    "Q pattern (bandwidth <= n/4, >= 3 blocks)")
+
+    def _plan_banded(self, qi) -> bool:
+        """Static banded-pattern analysis: choose a block size bs so Q is
+        block-tridiagonal, precompute the COO -> (Qd, Qe) scatter indices
+        (upper/lower cross-block entries symmetrized at half weight), and
+        the padding plan. Returns False when the pattern is not usefully
+        banded (the dense tier then applies)."""
+        n = self.Qsz[0]
+        if self.Qsz[0] != self.Qsz[1] or qi.shape[1] == 0:
+            return False
+        w = int(np.abs(qi[0] - qi[1]).max())
+        if w == 0:
+            return False  # diagonal — handled by the diag tier
+        bs = max(w, 8 if n >= 64 else 2)
+        nb = -(-n // bs)
+        if nb < 3 or bs > 128 or w > n // 4:
+            return False
+        n_pad = nb * bs
+        br, bc = qi[0] // bs, qi[1] // bs
+        if np.abs(br - bc).max() > 1:   # cannot happen with bs >= w
+            return False
+        on_diag = br == bc
+        lower = br == bc + 1
+        upper = br == bc - 1
+        # Diagonal-block entries: direct scatter (both triangles have
+        # their own slots, like the dense densify).
+        self._qd_sel = np.nonzero(on_diag)[0]
+        self._qd_idx = (br[on_diag], qi[0][on_diag] % bs,
+                        qi[1][on_diag] % bs)
+        # Cross-block entries share one Qe slot per symmetric pair: half
+        # the value from each triangle (see module docstring).
+        lo_sel = np.nonzero(lower)[0]
+        up_sel = np.nonzero(upper)[0]
+        self._qe_sel = np.concatenate([lo_sel, up_sel])
+        self._qe_idx = (
+            np.concatenate([bc[lower], br[upper]]),
+            np.concatenate([qi[0][lower] % bs, qi[1][upper] % bs]),
+            np.concatenate([qi[1][lower] % bs, qi[0][upper] % bs]),
+        )
+        self._band = (n, bs, nb, n_pad)
+        return True
 
     def __call__(self, Qv, p, Gv, h, Av, b):
         """Solve; differentiable in (Qv, p, Gv, h, Av, b)."""
         if self.structure == "diag":
             return self._call_diag(Qv, p, Gv, h, Av, b)
+        if self.structure == "banded":
+            return self._call_banded(Qv, p, Gv, h, Av, b)
         Q = _densify(self.Qi, Qv, self.Qsz)
         G = _densify(self.Gi, Gv, self.Gsz)
         A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
@@ -124,3 +189,44 @@ class SpQPFunction:
         return solve_qp_diag(q, p, g, h, A,
                              b if self.neq > 0 else None,
                              config=self.config)
+
+    def _call_banded(self, Qv, p, Gv, h, Av, b):
+        """Banded dispatch: scatter pattern values into block-tridiagonal
+        (Qd, Qe) + the G diagonal, pad n to a block multiple with
+        decoupled dummy variables, and run the block-Thomas solver; its
+        custom_vjp cotangents flow back through the scatters/pads onto
+        the pattern values."""
+        from .bandqp import solve_qp_banded
+
+        B = Qv.shape[0]
+        n, bs, nb, n_pad = self._band
+        dt = Qv.dtype
+        Qd = jnp.zeros((B, nb, bs, bs), dt).at[
+            :, self._qd_idx[0], self._qd_idx[1], self._qd_idx[2]].add(
+                Qv[:, self._qd_sel])
+        Qe = jnp.zeros((B, nb - 1, bs, bs), dt).at[
+            :, self._qe_idx[0], self._qe_idx[1], self._qe_idx[2]].add(
+                0.5 * Qv[:, self._qe_sel])
+        g = jnp.zeros((B, n), Gv.dtype).at[:, self.Gi[0]].add(Gv)
+        A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
+        p = jnp.broadcast_to(jnp.atleast_2d(p), (B, n))
+        h = jnp.broadcast_to(jnp.atleast_2d(h), (B, n))
+        if n_pad > n:
+            pad = n_pad - n
+            # Dummy tail variables: q = 1 (identity diagonal), g = 1,
+            # h = 1, p = 0 — strictly interior, decoupled from the real
+            # lanes (zero A columns / zero Qe coupling into the tail
+            # beyond the structural zeros already present).
+            tail = np.arange(n, n_pad)
+            qd_pad = np.zeros((nb, bs, bs), np.float64)
+            qd_pad[tail // bs, tail % bs, tail % bs] = 1.0
+            Qd = Qd + jnp.asarray(qd_pad, dt)
+            g = jnp.pad(g, ((0, 0), (0, pad)), constant_values=1.0)
+            p = jnp.pad(p, ((0, 0), (0, pad)))
+            h = jnp.pad(h, ((0, 0), (0, pad)), constant_values=1.0)
+            if A is not None:
+                A = jnp.pad(A, ((0, 0), (0, 0), (0, pad)))
+        z = solve_qp_banded(Qd, Qe, p, g, h, A,
+                            b if self.neq > 0 else None,
+                            config=self.config)
+        return z[:, :n]

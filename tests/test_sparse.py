@@ -109,3 +109,113 @@ def test_offdiagonal_pattern(rng):
     z_ref = qpth_tpu.solve_qp(jnp.asarray(Qd), jnp.asarray(p),
                               jnp.asarray(Gd), jnp.asarray(h))
     npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-9)
+
+
+def _banded_problem(rng, n=22, w=3, B=2, neq=2, sym=True):
+    """Tridiagonal-band pattern (bandwidth w) Q, diagonal G — the MPC-chain
+    shape the banded tier targets. n=22 with bs=8 exercises padding."""
+    rows, cols, vals = [], [], []
+    diag_boost = np.zeros(n)
+    for i in range(n):
+        for j in range(max(0, i - w), min(n, i + w + 1)):
+            if i == j:
+                continue
+            rows.append(i), cols.append(j)
+    off = 0.3 * rng.randn(B, len(rows))
+    if sym:
+        # symmetric values: value(i,j) == value(j,i)
+        pair = {}
+        for k, (i, j) in enumerate(zip(rows, cols)):
+            key = (min(i, j), max(i, j))
+            if key in pair:
+                off[:, k] = off[:, pair[key]]
+            else:
+                pair[key] = k
+    # diagonally-dominant SPD
+    Qi = np.array([rows + list(range(n)), cols + list(range(n))])
+    dvals = np.abs(off).sum(axis=1).max() + 2.0 + rng.rand(B, n)
+    Qv = np.concatenate([off, dvals], axis=1)
+    Gi = np.stack([np.arange(n), np.arange(n)])
+    Gv = rng.randn(B, n)
+    Gv = np.where(np.abs(Gv) < 0.3, 0.7, Gv)
+    z0 = rng.randn(B, n)
+    h = Gv * z0 + rng.rand(B, n) + 0.2
+    p = rng.randn(B, n)
+    if neq:
+        Ai_r, Ai_c = np.nonzero(np.ones((neq, n)))
+        Ai = np.stack([Ai_r, Ai_c])
+        Av = rng.randn(B, neq * n) * 0.5
+        b = np.einsum("bk,bk->b...", np.ones((B, 0)), np.ones((B, 0))) \
+            if False else None
+        A = Av.reshape(B, neq, n)
+        b = np.einsum("ben,bn->be", A, z0)
+    else:
+        Ai = np.zeros((2, 0), dtype=int)
+        Av = np.zeros((B, 0))
+        b = np.zeros((B, 0))
+    return Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n)
+
+
+def test_banded_pattern_auto_dispatch(rng):
+    """Banded Q + diagonal G auto-dispatches to the block-Thomas tier and
+    matches the densified dense path (forward + gradients), including the
+    n % bs != 0 padding path."""
+    Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n) = _banded_problem(rng)
+    f = SpQPFunction(Qi, (n, n), Gi, (n, n), Ai, (neq, n))
+    assert f.structure == "banded"
+
+    args = [jnp.asarray(v) for v in (Qv, p, Gv, h, Av, b)]
+    z = f(*args)
+    Qd = _densify_np(Qi, Qv, (n, n))
+    Gd = _densify_np(Gi, Gv, (n, n))
+    A = _densify_np(Ai, Av, (neq, n)) if neq else None
+    z_ref = qpth_tpu.solve_qp(
+        jnp.asarray(Qd), jnp.asarray(p), jnp.asarray(Gd), jnp.asarray(h),
+        None if A is None else jnp.asarray(A),
+        None if A is None else jnp.asarray(b))
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-6)
+
+    # Gradients to the pattern values match the dense path's gathered.
+    def loss_sp(Qv, p, Gv, h, Av, b):
+        return jnp.sum(f(Qv, p, Gv, h, Av, b) ** 2)
+
+    gs = jax.grad(loss_sp, argnums=(0, 1, 2, 3, 4, 5))(*args)
+
+    def loss_d(Q, p, G, h, A, b):
+        return jnp.sum(qpth_tpu.solve_qp(Q, p, G, h, A, b) ** 2)
+
+    gd = jax.grad(loss_d, argnums=(0, 1, 2, 3, 4, 5))(
+        *[jnp.asarray(v) for v in (Qd, p, Gd, h, A, b)])
+    npt.assert_allclose(np.asarray(gs[0]),
+                        np.asarray(gd[0])[:, Qi[0], Qi[1]],
+                        rtol=1e-4, atol=1e-7)
+    npt.assert_allclose(np.asarray(gs[1]), np.asarray(gd[1]),
+                        rtol=1e-4, atol=1e-7)
+    npt.assert_allclose(np.asarray(gs[2]),
+                        np.asarray(gd[2])[:, Gi[0], Gi[1]],
+                        rtol=1e-4, atol=1e-7)
+    npt.assert_allclose(np.asarray(gs[3]), np.asarray(gd[3]),
+                        rtol=1e-4, atol=1e-7)
+    npt.assert_allclose(np.asarray(gs[4]),
+                        np.asarray(gd[4])[:, Ai[0], Ai[1]],
+                        rtol=1e-4, atol=1e-7)
+    npt.assert_allclose(np.asarray(gs[5]), np.asarray(gd[5]),
+                        rtol=1e-4, atol=1e-7)
+
+
+def test_banded_detection_boundaries(rng):
+    """Dense-bandwidth and non-diagonal-G patterns stay on the dense tier;
+    structure='banded' can be forced where legal."""
+    n = 24
+    # full-bandwidth pattern -> dense
+    Qi_dense = np.stack(np.nonzero(np.ones((n, n))))
+    Gi = np.stack([np.arange(n), np.arange(n)])
+    f = SpQPFunction(Qi_dense, (n, n), Gi, (n, n),
+                     np.zeros((2, 0), int), (0, n))
+    assert f.structure == "dense"
+    # banded Q but non-diagonal G -> dense
+    Qi, _, _, _, _, _, Ai, _, _, _ = _banded_problem(rng, n=n, neq=0)
+    Gi_nd = np.array([[0, 0], [0, 1]])
+    f2 = SpQPFunction(Qi, (n, n), Gi_nd, (n, n),
+                      np.zeros((2, 0), int), (0, n))
+    assert f2.structure == "dense"
