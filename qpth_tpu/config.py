@@ -153,6 +153,19 @@ class SolverConfig:
     #: Only the cached-product fast path tracks; other paths recompute
     #: every iteration regardless.
     resid_every: int | None = None
+    #: Mixed-precision refinement: after the IPM loop, run this many extra
+    #: Mehrotra iterations whose KKT residuals are computed in float64
+    #: (TPU: software-emulated, exact) while every factorization/solve
+    #: stays in the working dtype — the classic mixed-precision iterative
+    #: refinement pattern applied to the interior-point method. This
+    #: breaks the float32 residual plateau (the fast path's RHS
+    #: identities assume exact arithmetic; recomputing residuals in f64
+    #: restores true Newton corrections) and the refined solution is
+    #: returned in float64. Requires ``jax.config.jax_enable_x64``; the
+    #: cost is refine_steps * (3 f64 matvecs + 1 f32 factor+solve pair).
+    #: SURVEY §7 hard-part 1's mitigation; anchor: the reference achieves
+    #: its accuracy by running f64 end-to-end (reference test.py:69-96).
+    refine_steps: int = 0
     #: Gondzio multiple centrality correctors per iteration (beyond the
     #: reference's single Mehrotra corrector). Each one costs a single
     #: back-solve on the cached factorization and is accepted per-lane

@@ -89,6 +89,102 @@ class _IPMState(NamedTuple):
     dual: jnp.ndarray             # (B,) tracked dual-residual norm
 
 
+def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
+            kkt_factor_solve, kkt_solve, config: SolverConfig):
+    """Mixed-precision refinement (SolverConfig.refine_steps): extra
+    Mehrotra iterations with float64 residuals and working-dtype solves.
+
+    The f32 plateau exists because the Newton RHS is evaluated in f32 —
+    once the true residual falls near eps_f32 * |operands|, the computed
+    correction is noise. Recomputing the residuals in f64 (cheap: three
+    batched matvecs per step, no f64 factorization) restores genuine
+    Newton corrections as long as cond(KKT) < 1/eps_f32, and the iterate
+    is accumulated — and returned — in float64. This is SURVEY §7
+    hard-part 1's mitigation; the reference instead runs f64 end-to-end
+    (reference test.py:69-96).
+    """
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            "SolverConfig.refine_steps > 0 requires jax_enable_x64 (the "
+            "refined iterate is accumulated and returned in float64; on "
+            "TPU f64 is software-emulated)")
+    f64 = jnp.float64
+    Q64, G64 = Q.astype(f64), G.astype(f64)
+    p64, h64 = p.astype(f64), h.astype(f64)
+    A64 = A.astype(f64) if neq > 0 else None
+    b64 = b.astype(f64) if neq > 0 else None
+    wd = dtype
+
+    def score64(x, s, z, y):
+        rx = kkt_ops.bmv(Q64, x) + p64 + kkt_ops.btmv(G64, z)
+        if neq > 0:
+            rx = rx + kkt_ops.btmv(A64, y)
+            ry = kkt_ops.bmv(A64, x) - b64
+            pri = jnp.linalg.norm(ry, axis=-1)
+        else:
+            ry = None
+            pri = jnp.zeros((B,), f64)
+        rz = kkt_ops.bmv(G64, x) + s - h64
+        mu = jnp.abs((s * z).sum(axis=-1) / nineq)
+        score = (pri + jnp.linalg.norm(rz, axis=-1)
+                 + jnp.linalg.norm(rx, axis=-1) + nineq * mu)
+        return rx, rz, ry, mu, score
+
+    x = final.best_x.astype(f64)
+    s = jnp.maximum(final.best_s.astype(f64), 1e-300)
+    z = jnp.maximum(final.best_z.astype(f64), 1e-300)
+    y = final.best_y.astype(f64)
+    _, _, _, mu0, best_score = score64(x, s, z, y)
+    best = (x, s, z, y, best_score, mu0)
+
+    for _ in range(config.refine_steps):
+        rx, rz, ry, mu, _ = score64(x, s, z, y)
+        d = z / s
+        d32 = d.astype(wd)
+        ry32 = ry.astype(wd) if neq > 0 else None
+        fac, dx_a, ds_a, dz_a, dy_a = kkt_factor_solve(
+            d32, rx.astype(wd), z.astype(wd), rz.astype(wd), ry32)
+        dx_a, ds_a, dz_a = (v.astype(f64) for v in (dx_a, ds_a, dz_a))
+        dy_a = dy_a.astype(f64) if neq > 0 else None
+        alpha = jnp.minimum(
+            jnp.minimum(_step_to_boundary(z, dz_a),
+                        _step_to_boundary(s, ds_a)), 1.0)[:, None]
+        t1 = ((s + alpha * ds_a) * (z + alpha * dz_a)).sum(axis=-1)
+        t2 = (s * z).sum(axis=-1)
+        sig = (t1 / t2) ** 3
+        rs_c = ((-mu * sig)[:, None] + ds_a * dz_a) / s
+        dx_c, ds_c, dz_c, dy_c = kkt_solve(
+            fac, d32, None, rs_c.astype(wd), None, None)
+        dx = dx_a + dx_c.astype(f64)
+        ds = ds_a + ds_c.astype(f64)
+        dz = dz_a + dz_c.astype(f64)
+        dy = (dy_a + dy_c.astype(f64)) if neq > 0 else None
+        alpha = jnp.minimum(
+            0.999 * jnp.minimum(_step_to_boundary(z, dz),
+                                _step_to_boundary(s, ds)), 1.0)
+        lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
+                    | jnp.isnan(dz).any(-1))
+        if neq > 0:
+            lane_bad = lane_bad | jnp.isnan(dy).any(-1)
+        msk = lane_bad[:, None]
+        alpha = jnp.where(msk, 0.0, alpha[:, None])
+        x = x + alpha * jnp.where(msk, 0.0, dx)
+        s = s + alpha * jnp.where(msk, 0.0, ds)
+        z = z + alpha * jnp.where(msk, 0.0, dz)
+        if neq > 0:
+            y = y + alpha * jnp.where(msk, 0.0, dy)
+        _, _, _, mu_n, score_n = score64(x, s, z, y)
+        take = (score_n < best[4])[:, None]
+        best = (jnp.where(take, x, best[0]), jnp.where(take, s, best[1]),
+                jnp.where(take, z, best[2]),
+                jnp.where(take, y, best[3]) if neq > 0 else best[3],
+                jnp.minimum(score_n, best[4]),
+                jnp.where(take[:, 0], mu_n, best[5]))
+
+    return final._replace(best_x=best[0], best_s=best[1], best_z=best[2],
+                          best_y=best[3], best_resids=best[4], mu=best[5])
+
+
 def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
           config: SolverConfig, init=None) -> QPSolution:
     """Run the batched IPM. Matrix params carry minimal batch dims
@@ -271,8 +367,23 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     if init is None:
         # ---- Initialization: solve with d = 1, RHS (p, 0, -h, -b) ----
         ones_m = jnp.ones((B, nineq), dtype)
-        _, x, s, z, y = kkt_factor_solve(ones_m, p, None, -h,
-                                         -b if neq > 0 else None)
+        if fast:
+            # The init system IS the fast predictor evaluated at
+            # (x, z, y) = 0 with d = 1: rhs_T reduces to q - S21 u with
+            # q = -(h + G Q^-1 p) already cached, so the generic
+            # prepare_rhs/backsub path's three full-matrix reads
+            # (Q^-1 rx, G/A matvecs) are skipped entirely.
+            zeros_n = jnp.zeros((B, nz), dtype)
+            zeros_m = jnp.zeros((B, nineq), dtype)
+            y0 = jnp.zeros((B, neq), dtype) if neq > 0 else None
+            # fast_predictor at (z, y) = 0 returns exactly the init
+            # solution blocks: s = ds = -dz (rs = 0), z = dz, y = dy.
+            _, s, z, y, _ = fast_predictor(zeros_n, ones_m, zeros_m, y0,
+                                           ones_m)
+            x = fast_combined_dx(zeros_n, zeros_m, y0, z, y)
+        else:
+            _, x, s, z, y = kkt_factor_solve(ones_m, p, None, -h,
+                                             -b if neq > 0 else None)
 
         # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
         def shift_pos(v):
@@ -559,6 +670,10 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                     if neq > 0 else final.best_y),
             best_resids=jnp.minimum(score_f, final.best_resids),
         )
+
+    if config.refine_steps > 0:
+        final = _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
+                        kkt_factor_solve, kkt_solve, config)
 
     # The reference prints INACC_ERR when the best residual exceeds 1
     # unless silenced with verbose < 0 (batch.py:141-142, 205-206) — same

@@ -1,0 +1,90 @@
+"""Mixed-precision refinement (SolverConfig.refine_steps): f64 residuals
++ working-dtype solves break the f32 plateau; the refined solution is
+returned in float64 and approaches the f64 oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import qpth_tpu
+from qpth_tpu import SolverConfig
+from qpth_tpu.solvers.oracle import solve_qp_np
+
+from conftest import make_feasible_qp
+
+
+def _oracle(Q, p, G, h, A, b):
+    B = p.shape[0]
+
+    out = []
+    for i in range(B):
+        Gi = G[i] if G.ndim == 3 else G
+        hi = h[i] if h.ndim == 2 else h
+        Ai = None if A is None else (A[i] if A.ndim == 3 else A)
+        bi = None if b is None else (b[i] if b.ndim == 2 else b)
+        out.append(solve_qp_np(Q, p[i], Gi, hi, Ai, bi)[1])
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("neq", [0, 3])
+def test_refine_reaches_f64_accuracy(rng, neq):
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=neq,
+                                        nbatch=4)
+    # Round the data to f32-representable values first so the oracle and
+    # the solver see the SAME problem (casting inputs perturbs the
+    # solution by ~cond * eps_f32, which is not the solver's error).
+    r32 = lambda v: None if v is None else np.float64(np.float32(v))
+    Q, p, G, h, A, b = map(r32, (Q, p, G, h, A, b))
+    f32 = lambda v: None if v is None else jnp.asarray(v, jnp.float32)
+    args = list(map(f32, (Q, p, G, h, A, b)))
+    zo = _oracle(Q, p, G, h, A, b)
+
+    base = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    ref = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                   refine_steps=3))
+    assert ref.z.dtype == jnp.float64
+    err_base = np.abs(np.asarray(base.z, np.float64) - zo).max()
+    err_ref = np.abs(np.asarray(ref.z) - zo).max()
+    # f32 plateaus around 1e-5..1e-6; refinement must reach near-f64.
+    assert err_ref < 1e-8, (err_base, err_ref)
+    assert err_ref < err_base / 50, (err_base, err_ref)
+    # Residual scores improve accordingly and never regress.
+    assert float(ref.stats.best_resids.max()) <= \
+        float(base.stats.best_resids.max()) + 1e-12
+
+
+def test_refine_harsh_conditioning(rng):
+    """cond ~ 1e5-1e6 fixture: residuals still improve >= 100x."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=12, nineq=8, neq=0,
+                                        nbatch=4, q_scale=100.0)
+    f32 = lambda v: None if v is None else jnp.asarray(v, jnp.float32)
+    args = list(map(f32, (Q, p, G, h, A, b)))
+    base = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    ref = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                   refine_steps=3))
+    rb = float(base.stats.best_resids.max())
+    rr = float(ref.stats.best_resids.max())
+    assert rr < rb / 100, (rb, rr)
+
+
+def test_refine_noop_at_f64(rng):
+    """At f64 input the refinement is just extra exact iterations — it
+    must not degrade an already-converged solution."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=5, neq=2,
+                                        nbatch=3)
+    args = [None if v is None else jnp.asarray(v, jnp.float64)
+            for v in (Q, p, G, h, A, b)]
+    base = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    ref = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                   refine_steps=2))
+    assert float(ref.stats.best_resids.max()) <= \
+        float(base.stats.best_resids.max()) * (1 + 1e-9)
+    npt.assert_allclose(np.asarray(ref.z), np.asarray(base.z),
+                        atol=1e-7)
