@@ -44,7 +44,7 @@ import qpth_tpu
 from qpth_tpu.ops import kkt as kkt_ops
 
 
-def mesh_accounting(nz=1024, m=1024, B=8):
+def mesh_accounting(nz=1024, m=1024, B=2):
     """Per-device memory + FLOPs of the compiled prefactor, 1-D batch
     mesh vs 2-D (batch, model) mesh."""
     devs = np.array(jax.devices())
@@ -59,11 +59,16 @@ def mesh_accounting(nz=1024, m=1024, B=8):
     print(f"prefactor accounting at nz={nz}, m={m}, B={B} "
           f"({len(devs)} devices)\n")
 
+    # B < n_devices is the regime the model axis exists for: a 1-D
+    # batch mesh can use at most B devices, so the big (nz, nz) blocks
+    # sit whole in each device's HBM; sharding nz over the model axis
+    # splits them.
     rows = []
-    for name, shape, axes in (("1-D batch mesh", (8, 1), 1),
-                              ("2-D batch x model", (4, 2), 2),
-                              ("2-D batch x model (2x4)", (2, 4), 2)):
-        mesh = Mesh(devs.reshape(shape), ("batch", "model"))
+    for name, shape, axes in (("1-D batch mesh", (2, 1, 4), 1),
+                              ("2-D batch x model (2x4)", (2, 4, 1), 2)):
+        mesh = Mesh(devs.reshape(shape[:2]) if shape[2] == 1
+                    else devs[:shape[0]*shape[1]].reshape(shape[:2]),
+                    ("batch", "model"))
 
         def build(Q, G):
             return prefactor_qp_tp(Q, G, None, mesh=mesh)
