@@ -81,14 +81,24 @@ jax.tree_util.register_pytree_node(
 
 
 def factor_hybrid(T, interpret: bool = False,
-                  block: int = BLOCK) -> HybridFactor:
-    """Blocked Cholesky of batched SPD T (B, m, m)."""
+                  block: int = BLOCK, dinv=None) -> HybridFactor:
+    """Blocked Cholesky of batched SPD T (B, m, m).
+
+    ``dinv``: optional (B, m) diagonal shift — factors T + diag(dinv)
+    without materializing the shifted matrix (the IPM calls this every
+    iteration with T = R fixed and dinv = 1/d varying; folding the shift
+    into the per-block diagonal reads saves a full read+write pass over
+    the (B, m, m) matrix per iteration).
+    """
     B, m = T.shape[0], T.shape[-1]
     Gs, Ps = [], []
     S = T
     for j0 in range(0, m, block):
         kb = min(block, m - j0)
         D = S[:, :kb, :kb]
+        if dinv is not None:
+            idx = jnp.arange(kb)
+            D = D.at[:, idx, idx].add(dinv[:, j0:j0 + kb])
         G = _spd_factor_inv_block(D, interpret)
         Gs.append(G)
         if j0 + kb < m:
@@ -101,6 +111,56 @@ def factor_hybrid(T, interpret: bool = False,
         else:
             Ps.append(None)
     return HybridFactor(Gs, Ps, m, block)
+
+
+def factor_solve_hybrid(T, v, interpret: bool = False,
+                        block: int = BLOCK, dinv=None):
+    """Fused blocked factor + first solve: the forward substitution is
+    carried along the factor's block loop (each panel P_j is applied to
+    the remaining RHS right after it is formed, while it is fresh),
+    saving the separate forward sweep's full re-read of the panels.
+    Returns (HybridFactor, x) with (T + diag(dinv)) x = v.
+    """
+    B, m = T.shape[0], T.shape[-1]
+    Gs, Ps, ys = [], [], []
+    S, r = T, v
+
+    def mv(M, x):
+        return jnp.einsum("bij,bj->bi", M, x, precision=HIGHEST)
+
+    def mtv(M, x):
+        return jnp.einsum("bij,bi->bj", M, x, precision=HIGHEST)
+
+    for j0 in range(0, m, block):
+        kb = min(block, m - j0)
+        D = S[:, :kb, :kb]
+        if dinv is not None:
+            idx = jnp.arange(kb)
+            D = D.at[:, idx, idx].add(dinv[:, j0:j0 + kb])
+        G = _spd_factor_inv_block(D, interpret)
+        Gs.append(G)
+        y = mv(G, r[:, :kb])
+        ys.append(y)
+        if j0 + kb < m:
+            P = bmm(S[:, kb:, :kb], jnp.swapaxes(G, -1, -2))
+            Ps.append(P)
+            S = S[:, kb:, kb:] - jnp.einsum(
+                "bik,bjk->bij", P, P, precision=HIGHEST)
+            r = r[:, kb:] - mv(P, y)
+        else:
+            Ps.append(None)
+    fac = HybridFactor(Gs, Ps, m, block)
+
+    # Backward substitution (as in solve_hybrid, reusing the computed ys).
+    nb = len(Gs)
+    xs = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        rj = ys[j]
+        if fac.Ps[j] is not None:
+            xt = jnp.concatenate(xs[j + 1:], axis=-1)
+            rj = rj - mtv(fac.Ps[j], xt)
+        xs[j] = mtv(fac.Gs[j], rj)
+    return fac, jnp.concatenate(xs, axis=-1)
 
 
 def solve_hybrid(fac: HybridFactor, v):
@@ -149,14 +209,16 @@ def hybrid_backend(interpret: bool = False):
     from .linalg import bmv
 
     def factor(R, d):
-        return factor_hybrid(add_diag(R, 1.0 / d), interpret=interpret)
+        # Diagonal shift folded into the blocked factor (no full-matrix
+        # add_diag copy per iteration).
+        return factor_hybrid(R, interpret=interpret, dinv=1.0 / d)
 
     def solve2(fac, v):
         return solve_hybrid(fac, v)
 
     def factor_solve(R, d, v):
-        fac = factor(R, d)
-        return fac, solve_hybrid(fac, v)
+        return factor_solve_hybrid(R, v, interpret=interpret,
+                                   dinv=1.0 / d)
 
     def factor_solve_rz(R, d, q, z):
         return factor_solve(R, d, q - bmv(R, z))
