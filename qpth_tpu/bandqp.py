@@ -3,7 +3,10 @@
 Public entry point of the banded structured tier (see
 :mod:`qpth_tpu.core.banded` for the algebra): batched QPs
 
-    min_x 1/2 x^T Q x + p^T x   s.t.  diag(g) x <= h,  A x = b
+    min_x 1/2 x^T Q x + p^T x   s.t.  G x <= h,  A x = b
+
+with *separable* G — every inequality row touches one variable
+(diagonal G, box stacks [I; -I], variable bounds; see ``g_cols``) —
 
 where Q is block-tridiagonal — Qd the (nb, bs, bs) diagonal blocks and Qe
 the (nb-1, bs, bs) subdiagonal blocks (the superdiagonal blocks are the
@@ -67,21 +70,25 @@ def _canon_banded(Qd, Qe, p, g, h, A, b):
     else:
         Ab = bb = None
         unb.append(False)
-    meta = (B,) + tuple(unb)  # (B, p_unb, g_unb, h_unb, b_unb)
-    return Qd, Qe, pb, gb, hb, Ab, bb, meta
+    return Qd, Qe, pb, gb, hb, Ab, bb, (B,) + tuple(unb)
+
+
+def _cols(meta):
+    gc = meta[-1]
+    return None if gc is None else __import__("numpy").asarray(gc)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _band_core_fn(Qd, Qe, pb, gb, hb, Ab, bb, init, config: SolverConfig,
                   meta):
     return band_core.solve_banded(Qd, Qe, pb, gb, hb, Ab, bb, config,
-                                  init=init).z
+                                  init=init, g_cols=_cols(meta)).z
 
 
 def _band_fwd(Qd, Qe, pb, gb, hb, Ab, bb, init, config: SolverConfig,
               meta):
     sol = band_core.solve_banded(Qd, Qe, pb, gb, hb, Ab, bb, config,
-                                 init=init)
+                                 init=init, g_cols=_cols(meta))
     return sol.z, (sol.z, sol.lam, sol.s, sol.nu, Qd, Qe, gb, Ab, init)
 
 
@@ -89,7 +96,7 @@ def _band_bwd(config: SolverConfig, meta, res, dl_dz):
     """One extra banded KKT solve (qp.py:148-155's implicit
     differentiation restricted to the block pattern)."""
     zhat, lam, s, nu, Qd, Qe, gb, Ab, init = res
-    B_global, p_unb, g_unb, h_unb, b_unb = meta
+    B_global, p_unb, g_unb, h_unb, b_unb = meta[:5]
     B, n = zhat.shape
     nb, bs = Qd.shape[1], Qd.shape[-1]
     neq = Ab.shape[-2] if Ab is not None else 0
@@ -99,8 +106,11 @@ def _band_bwd(config: SolverConfig, meta, res, dl_dz):
     d = jnp.maximum(lam, c) / jnp.maximum(s, c)
     Qd_full = jnp.broadcast_to(Qd, (B, nb, bs, bs))
     Qe_full = jnp.broadcast_to(Qe, (B, max(nb - 1, 0), bs, bs))
+    g_cols = _cols(meta)
     dx, _, dlam, dnu = band_core.solve_kkt_banded(
-        Qd_full, Qe_full, gb, Ab, d, dl_dz, config)
+        Qd_full, Qe_full, gb, Ab, d, dl_dz, config, g_cols=g_cols)
+    import numpy as _np
+    ci = (_np.arange(n) if g_cols is None else g_cols)
 
     # Block restriction of the dense gradient assembly (qp.py:157-177).
     dx_b = dx.reshape(B, nb, bs)
@@ -113,7 +123,9 @@ def _band_bwd(config: SolverConfig, meta, res, dl_dz):
     else:
         dQe = jnp.zeros((B, 0, bs, bs), dt)
     dp = dx
-    dg = dlam * zhat + lam * dx
+    # Separable-G restriction of dG = dlam z^T + lam dx^T: row r touches
+    # only column ci[r].
+    dg = dlam * zhat[:, ci] + lam * dx[:, ci]
     dh = -dlam
     mean_mode = config.broadcast_grad_reduction == "mean"
     if neq > 0:
@@ -152,24 +164,35 @@ _band_core_fn.defvjp(_band_fwd, _band_bwd)
 
 
 def solve_qp_banded(Qd, Qe, p, g, h, A=None, b=None,
-                    config: SolverConfig = DEFAULT_CONFIG, init=None):
+                    config: SolverConfig = DEFAULT_CONFIG, init=None,
+                    g_cols=None):
     """Differentiable batched banded-structure QP solve; returns z*.
 
     Qd: (B?, nb, bs, bs) symmetric diagonal blocks of Q; Qe: (B?, nb-1,
-    bs, bs) subdiagonal blocks; g: (B?, n) diagonal of G (nonzero);
-    p, h: (B?, n) with n = nb*bs; A: (B?, neq, n) dense or None; b
-    matching.  Unbatched parameters receive summed cotangents
+    bs, bs) subdiagonal blocks; p: (B?, n) with n = nb*bs.
+
+    G is separable (one variable per inequality row): g (B?, m) holds the
+    row coefficients and ``g_cols`` (static, length m) the column each
+    row touches. g_cols=None means G = diag(g) with m = n; box
+    constraints [I; -I] are g_cols = list(range(n)) * 2 with
+    g = [1]*n + [-1]*n. h: (B?, m); A: (B?, neq, n) dense or None; b
+    matching. Unbatched parameters receive summed cotangents
     (``broadcast_grad_reduction`` as in :func:`qpth_tpu.solve_qp`).
     """
     Qd, Qe, pb, gb, hb, Ab, bb, meta = _canon_banded(Qd, Qe, p, g, h, A, b)
-    return _band_core_fn(Qd, Qe, pb, gb, hb, Ab, bb, init, config, meta)
+    gc = None if g_cols is None else tuple(int(c) for c in g_cols)
+    return _band_core_fn(Qd, Qe, pb, gb, hb, Ab, bb, init, config,
+                         meta + (gc,))
 
 
 def solve_qp_banded_full(Qd, Qe, p, g, h, A=None, b=None,
                          config: SolverConfig = DEFAULT_CONFIG,
-                         init=None) -> QPSolution:
+                         init=None, g_cols=None) -> QPSolution:
     """Forward-only banded-structure solve with full primal-dual solution
-    and stats (not differentiable)."""
+    and stats (not differentiable). Same separable-G contract as
+    :func:`solve_qp_banded`."""
     Qd, Qe, pb, gb, hb, Ab, bb, _ = _canon_banded(Qd, Qe, p, g, h, A, b)
+    import numpy as _np
+    gc = None if g_cols is None else _np.asarray(g_cols)
     return band_core.solve_banded(Qd, Qe, pb, gb, hb, Ab, bb, config,
-                                  init=init)
+                                  init=init, g_cols=gc)

@@ -199,14 +199,24 @@ class _BandState(NamedTuple):
 
 
 def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
-                 init=None) -> QPSolution:
-    """Batched IPM with block-tridiagonal Q and G = diag(g), nineq == nz.
+                 init=None, g_cols=None) -> QPSolution:
+    """Batched IPM with block-tridiagonal Q and *separable* G: each
+    inequality row involves exactly one variable.
 
     Qd: (B?, nb, bs, bs) diagonal blocks (symmetric); Qe: (B?, nb-1, bs,
     bs) subdiagonal blocks ((i+1, i); the (i, i+1) blocks are implied
-    transposes); g, p, h: (B?, n) with n = nb*bs and g elementwise
-    nonzero; A: (bA, neq, n) dense or None; b: (B?, neq).  Same
-    convergence contract as :func:`qpth_tpu.core.pdipm.solve`.
+    transposes); p: (B?, n) with n = nb*bs.
+
+    G is given row-wise: row r is ``g[r] * x[g_cols[r]] <= h[r]`` with
+    ``g`` (B?, m) and ``g_cols`` a STATIC (m,) integer column map
+    (default: arange(n), i.e. G = diag(g), m = n). Box constraints
+    [I; -I] are g_cols = [0..n-1, 0..n-1] with g = [1...,-1...], m = 2n.
+    G^T-applications become static scatter-adds and G-applications
+    gathers, so the condensed system H = Q + G^T D G stays
+    block-tridiagonal for ANY separable pattern.
+
+    A: (bA, neq, n) dense or None; b: (B?, neq). Same convergence
+    contract as :func:`qpth_tpu.core.pdipm.solve`.
     """
     Qd = jnp.asarray(Qd)
     Qe = jnp.asarray(Qe)
@@ -243,7 +253,27 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
     else:
         neq = 0
         b = None
-    m = n  # diagonal G
+    m = g.shape[-1]
+    if g_cols is None:
+        # Diagonal G: gather/scatter degenerate to elementwise products
+        # (XLA is not guaranteed to simplify an iota-gather).
+        assert m == n, "diagonal G requires g of length n"
+
+        def gmul(v):
+            return g * v
+
+        def gtmul(w):
+            return g * w
+    else:
+        ci = jnp.asarray(g_cols)
+
+        def gmul(v):
+            """G v for (B, n) v -> (B, m): per-row gather."""
+            return g * v[:, ci]
+
+        def gtmul(w):
+            """G^T w for (B, m) w -> (B, n): static scatter-add."""
+            return jnp.zeros((B, n), dtype).at[:, ci].add(g * w)
 
     improve_margin = config.improve_margin
     if improve_margin is None:
@@ -270,10 +300,10 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         return v.reshape(B, n)
 
     def factor_all(d):
-        """Complete + factor H = Q + diag(g^2 d); returns (fac, X, Mfac)
+        """Complete + factor H = Q + G^T diag(d) G; returns (fac, X, Mfac)
         with X = H^-1 A^T and Mfac the factored normal-equations matrix
         M = A H^-1 A^T (both None when neq == 0)."""
-        shift = blocks(g * g * d)
+        shift = blocks(gtmul(g * d))
         Hd = Qd + q_diag_embed.at[..., eye_idx, eye_idx].set(shift)
         fac = bt_factor(Hd, Qe, spd_inv)
         if neq == 0:
@@ -292,9 +322,9 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         if rx is not None:
             rt = rt - rx
         if rs is not None:
-            rt = rt + g * rs
+            rt = rt + gtmul(rs)
         if rz is not None:
-            rt = rt - g * d * rz
+            rt = rt - gtmul(d * rz)
         u = flat(bt_solve(fac, blocks(rt)))             # H^-1 rt
         if neq > 0:
             rhs = bmv(A, u)
@@ -306,7 +336,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         else:
             dy = None
             dx = u
-        gdx = g * dx
+        gdx = gmul(dx)
         ds = -gdx if rz is None else (-rz - gdx)
         dz = -d * ds if rs is None else (-rs - d * ds)
         return dx, ds, dz, dy
@@ -343,7 +373,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
     )
 
     def residuals(x, s, z, y):
-        rx = flat(bt_mul(Qd, Qe, blocks(x))) + p + g * z
+        rx = flat(bt_mul(Qd, Qe, blocks(x))) + p + gtmul(z)
         if neq > 0:
             rx = rx + btmv(A, y)
             ry = bmv(A, x) - b
@@ -351,7 +381,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         else:
             ry = None
             y_resid = jnp.zeros((B,), dtype)
-        rz = g * x + s - h
+        rz = gmul(x) + s - h
         mu = jnp.abs((s * z).sum(axis=-1) / m)
         resids = (y_resid + jnp.linalg.norm(rz, axis=-1)
                   + jnp.linalg.norm(rx, axis=-1) + m * mu)
@@ -479,18 +509,21 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
                       s=final.best_s, stats=stats)
 
 
-def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig):
+def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig,
+                     g_cols=None):
     """One Newton solve of the banded-structure KKT system at a given
     diagonal d with RHS (rx, 0, 0, 0) — the backward pass's single extra
     solve (the banded analog of qp.py:148-155). Inputs are canonically
-    batched: Qd (B, nb, bs, bs), Qe (B, nb-1, bs, bs), g (B, n),
-    A (bA, neq, n) or None, d/rx (B, n). Returns (dx, ds, dz, dy)."""
+    batched: Qd (B, nb, bs, bs), Qe (B, nb-1, bs, bs), g (B, m) with the
+    separable-G column map g_cols (None = diagonal), A (bA, neq, n) or
+    None, d (B, m), rx (B, n). Returns (dx, ds, dz, dy)."""
     import numpy as np
 
     B, nb, bs = Qd.shape[0], Qd.shape[1], Qd.shape[-1]
     n = nb * bs
     dtype = rx.dtype
     neq = A.shape[-2] if A is not None else 0
+    ci = jnp.arange(n) if g_cols is None else jnp.asarray(g_cols)
 
     use_pallas_stage = (np.dtype(dtype) == np.float32
                         and config.use_pallas not in (False, "xla")
@@ -502,7 +535,8 @@ def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig):
         use_pallas_stage = lanes_supported(bs, B)
     spd_inv = _spd_inv_stage(use_pallas_stage)
 
-    shift = (g * g * d).reshape(B, nb, bs)
+    shift = jnp.zeros((B, n), dtype).at[:, ci].add(
+        g * g * d).reshape(B, nb, bs)
     eye_idx = jnp.arange(bs)
     Hd = Qd + jnp.zeros((B, nb, bs, bs), dtype).at[
         ..., eye_idx, eye_idx].set(shift)
@@ -522,6 +556,6 @@ def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig):
     else:
         dy = None
         dx = u
-    ds = -g * dx
+    ds = -g * dx[:, ci]
     dz = -d * ds
     return dx, ds, dz, dy

@@ -19,7 +19,9 @@ in* — on two tiers:
    TPU-native answer to the reference's batched sparse QR
    (``torch.spbqrfactsolve``, spbatch.py:255).
 2. **Banded patterns** (block-tridiagonal Q after static blocking, G
-   diagonal — the MPC-chain / finite-horizon workload): dispatched to the
+   *separable* — at most one variable per inequality row: diagonal G,
+   box stacks [I; -I], variable bounds — the MPC-chain / finite-horizon
+   workload): dispatched to the
    block-Thomas structured solver (:mod:`qpth_tpu.core.banded`), where
    per-iteration cost drops from O(n^3) dense to O(nb * bs^3) — the
    arbitrary-fixed-pattern scaling the reference gets from sparse QR,
@@ -102,21 +104,36 @@ class SpQPFunction:
         if structure == "auto":
             qi = np.asarray(self.Qi)
             gi = np.asarray(self.Gi)
-            g_diag = (self.Gsz[0] == self.Gsz[1]
-                      and bool((gi[0] == gi[1]).all())
-                      and config.solver == QPSolvers.PDIPM_BATCHED)
+            pdipm = config.solver == QPSolvers.PDIPM_BATCHED
+            g_diag = (pdipm and self.Gsz[0] == self.Gsz[1]
+                      and bool((gi[0] == gi[1]).all()))
             diag_ok = g_diag and bool((qi[0] == qi[1]).all())
             if diag_ok:
                 self.structure = "diag"
-            elif g_diag and self._plan_banded(qi):
+            elif (pdipm and self._plan_separable_g(gi)
+                    and self._plan_banded(qi)):
                 self.structure = "banded"
             else:
                 self.structure = "dense"
         elif structure == "banded":
-            if not self._plan_banded(np.asarray(self.Qi)):
+            if not (self._plan_separable_g(np.asarray(self.Gi))
+                    and self._plan_banded(np.asarray(self.Qi))):
                 raise ValueError(
-                    "structure='banded' requires diagonal G and a banded "
-                    "Q pattern (bandwidth <= n/4, >= 3 blocks)")
+                    "structure='banded' requires separable G (at most one "
+                    "variable per inequality row) and a banded Q pattern "
+                    "(bandwidth <= n/4, >= 3 blocks)")
+
+    def _plan_separable_g(self, gi) -> bool:
+        """G is separable when every inequality row touches at most one
+        variable (diagonal G, box stacks [I; -I], variable bounds...).
+        Precomputes the static row -> column map."""
+        m = self.Gsz[0]
+        if gi.shape[1] and np.unique(gi[0]).size != gi.shape[1]:
+            return False  # a row with two entries (or duplicates)
+        ci = np.zeros(m, dtype=gi.dtype)
+        ci[gi[0]] = gi[1]
+        self._g_ci = ci
+        return True
 
     def _plan_banded(self, qi) -> bool:
         """Static banded-pattern analysis: choose a block size bs so Q is
@@ -192,14 +209,15 @@ class SpQPFunction:
 
     def _call_banded(self, Qv, p, Gv, h, Av, b):
         """Banded dispatch: scatter pattern values into block-tridiagonal
-        (Qd, Qe) + the G diagonal, pad n to a block multiple with
-        decoupled dummy variables, and run the block-Thomas solver; its
-        custom_vjp cotangents flow back through the scatters/pads onto
-        the pattern values."""
+        (Qd, Qe) + the separable-G row coefficients, pad n to a block
+        multiple with decoupled dummy variables, and run the block-Thomas
+        solver; its custom_vjp cotangents flow back through the
+        scatters/pads onto the pattern values."""
         from .bandqp import solve_qp_banded
 
         B = Qv.shape[0]
         n, bs, nb, n_pad = self._band
+        m = self.Gsz[0]
         dt = Qv.dtype
         Qd = jnp.zeros((B, nb, bs, bs), dt).at[
             :, self._qd_idx[0], self._qd_idx[1], self._qd_idx[2]].add(
@@ -207,26 +225,25 @@ class SpQPFunction:
         Qe = jnp.zeros((B, nb - 1, bs, bs), dt).at[
             :, self._qe_idx[0], self._qe_idx[1], self._qe_idx[2]].add(
                 0.5 * Qv[:, self._qe_sel])
-        g = jnp.zeros((B, n), Gv.dtype).at[:, self.Gi[0]].add(Gv)
+        # Row coefficients of the separable G (one variable per row;
+        # self._g_ci maps rows to columns).
+        g = jnp.zeros((B, m), Gv.dtype).at[:, self.Gi[0]].add(Gv)
         A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
         p = jnp.broadcast_to(jnp.atleast_2d(p), (B, n))
-        h = jnp.broadcast_to(jnp.atleast_2d(h), (B, n))
+        h = jnp.broadcast_to(jnp.atleast_2d(h), (B, m))
         if n_pad > n:
+            # Dummy tail variables: q = 1 identity diagonal, p = 0, no
+            # inequality rows (separable G decouples m from n), zero A
+            # columns — decoupled from the real lanes.
             pad = n_pad - n
-            # Dummy tail variables: q = 1 (identity diagonal), g = 1,
-            # h = 1, p = 0 — strictly interior, decoupled from the real
-            # lanes (zero A columns / zero Qe coupling into the tail
-            # beyond the structural zeros already present).
             tail = np.arange(n, n_pad)
             qd_pad = np.zeros((nb, bs, bs), np.float64)
             qd_pad[tail // bs, tail % bs, tail % bs] = 1.0
             Qd = Qd + jnp.asarray(qd_pad, dt)
-            g = jnp.pad(g, ((0, 0), (0, pad)), constant_values=1.0)
             p = jnp.pad(p, ((0, 0), (0, pad)))
-            h = jnp.pad(h, ((0, 0), (0, pad)), constant_values=1.0)
             if A is not None:
                 A = jnp.pad(A, ((0, 0), (0, 0), (0, pad)))
         z = solve_qp_banded(Qd, Qe, p, g, h, A,
                             b if self.neq > 0 else None,
-                            config=self.config)
+                            config=self.config, g_cols=self._g_ci)
         return z[:, :n]

@@ -179,3 +179,66 @@ def test_banded_shared_params_and_warmstart(rng):
     npt.assert_allclose(np.asarray(sol2.z), np.asarray(sol.z),
                         rtol=1e-5, atol=1e-6)
     assert int(sol2.stats.iterations) <= int(sol.stats.iterations)
+
+
+@pytest.mark.parametrize("neq", [0, 4])
+def test_banded_separable_box_constraints(rng, neq):
+    """Separable G (g_cols): true box constraints [I; -I] (m = 2n) match
+    the dense path, forward and gradients."""
+    Qd, Qe, p, _, _, _, _ = make_banded_qp(rng, nb=4, bs=3, neq=0,
+                                           nbatch=3)
+    B, n = p.shape
+    u = rng.rand(B, n) + 0.5
+    lo = -(rng.rand(B, n) + 0.5)
+    # rows 0..n-1:  x_i <= u_i ; rows n..2n-1: -x_i <= -lo_i
+    g = np.concatenate([np.ones((B, n)), -np.ones((B, n))], axis=1)
+    h = np.concatenate([u, -lo], axis=1)
+    if neq:
+        # equalities anchored at a strictly in-box point so the QP is
+        # feasible
+        z0 = lo + (u - lo) * rng.rand(B, n)
+        A = rng.randn(neq, n)
+        b = np.einsum("en,bn->be", A, z0)
+    else:
+        A = b = None
+    g_cols = list(range(n)) * 2
+    cfg = SolverConfig(check_Q_spd=False, verbose=-1)
+    asj = lambda v: None if v is None else jnp.asarray(v)
+
+    sol_b = qpth_tpu.solve_qp_banded_full(
+        *map(asj, (Qd, Qe, p, g, h, A, b)), config=cfg, g_cols=g_cols)
+    Q = densify(Qd, Qe)
+    eye = np.eye(n)
+    G = np.broadcast_to(np.concatenate([eye, -eye], axis=0),
+                        (B, 2 * n, n)).copy()
+    sol_d = qpth_tpu.solve_qp_full(*map(asj, (Q, p, G, h, A, b)),
+                                   config=cfg)
+    npt.assert_allclose(np.asarray(sol_b.z), np.asarray(sol_d.z),
+                        rtol=1e-6, atol=1e-7)
+    # solution actually respects the box
+    assert (np.asarray(sol_b.z) <= u + 1e-7).all()
+    assert (np.asarray(sol_b.z) >= lo - 1e-7).all()
+
+    # gradients through the separable path match the dense ones
+    def loss_b(Qd, Qe, p, g, h):
+        z = qpth_tpu.solve_qp_banded(Qd, Qe, p, g, h, asj(A), asj(b),
+                                     config=cfg, g_cols=g_cols)
+        return jnp.sum(z ** 2)
+
+    gb = jax.grad(loss_b, argnums=(2, 3, 4))(
+        *map(asj, (Qd, Qe, p, g, h)))
+
+    def loss_d(Q, p, G, h):
+        z = qpth_tpu.solve_qp(Q, p, G, h, asj(A), asj(b), config=cfg)
+        return jnp.sum(z ** 2)
+
+    gd = jax.grad(loss_d, argnums=(1, 2, 3))(*map(asj, (Q, p, G, h)))
+    npt.assert_allclose(np.asarray(gb[0]), np.asarray(gd[0]),
+                        rtol=1e-4, atol=1e-6)    # dp
+    idx = np.arange(n)
+    dG = np.asarray(gd[1])
+    dg_dense = np.concatenate([dG[:, idx, idx], dG[:, n + idx, idx]],
+                              axis=1)
+    npt.assert_allclose(np.asarray(gb[1]), dg_dense, rtol=1e-4, atol=1e-6)
+    npt.assert_allclose(np.asarray(gb[2]), np.asarray(gd[2]),
+                        rtol=1e-4, atol=1e-6)    # dh
