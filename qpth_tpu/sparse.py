@@ -111,13 +111,17 @@ class SpQPFunction:
             if diag_ok:
                 self.structure = "diag"
             elif (pdipm and self._plan_separable_g(gi)
-                    and self._plan_banded(qi)):
+                    and self._plan_banded(qi, allow_diag=True)):
+                # allow_diag: a diagonal/blocked Q with non-diagonal
+                # separable G (box stacks) belongs here, not the dense
+                # tier — the diag tier requires square diagonal G.
                 self.structure = "banded"
             else:
                 self.structure = "dense"
         elif structure == "banded":
             if not (self._plan_separable_g(np.asarray(self.Gi))
-                    and self._plan_banded(np.asarray(self.Qi))):
+                    and self._plan_banded(np.asarray(self.Qi),
+                                          allow_diag=True)):
                 raise ValueError(
                     "structure='banded' requires separable G (at most one "
                     "variable per inequality row) and a banded Q pattern "
@@ -135,17 +139,19 @@ class SpQPFunction:
         self._g_ci = ci
         return True
 
-    def _plan_banded(self, qi) -> bool:
+    def _plan_banded(self, qi, allow_diag: bool = False) -> bool:
         """Static banded-pattern analysis: choose a block size bs so Q is
         block-tridiagonal, precompute the COO -> (Qd, Qe) scatter indices
         (upper/lower cross-block entries symmetrized at half weight), and
         the padding plan. Returns False when the pattern is not usefully
-        banded (the dense tier then applies)."""
+        banded (the dense tier then applies). ``allow_diag``: accept a
+        purely diagonal Q too (used when G is separable but not square
+        diagonal, where the diag tier cannot take the problem)."""
         n = self.Qsz[0]
         if self.Qsz[0] != self.Qsz[1] or qi.shape[1] == 0:
             return False
         w = int(np.abs(qi[0] - qi[1]).max())
-        if w == 0:
+        if w == 0 and not allow_diag:
             return False  # diagonal — handled by the diag tier
         bs = max(w, 8 if n >= 64 else 2)
         nb = -(-n // bs)

@@ -219,3 +219,33 @@ def test_banded_detection_boundaries(rng):
     f2 = SpQPFunction(Qi, (n, n), Gi_nd, (n, n),
                       np.zeros((2, 0), int), (0, n))
     assert f2.structure == "dense"
+
+
+def test_box_pattern_dispatches_banded(rng):
+    """Diagonal-Q + box-G ([I; -I]) patterns — non-square G — dispatch to
+    the banded tier (the diag tier needs square diagonal G) and match the
+    densified dense path."""
+    n, B = 20, 2
+    Qi = np.stack([np.arange(n), np.arange(n)])
+    Qv = np.ones((B, n)) * (1.0 + rng.rand(B, n))
+    rows = np.arange(2 * n)
+    cols = np.concatenate([np.arange(n), np.arange(n)])
+    Gi = np.stack([rows, cols])
+    Gv = np.concatenate([np.ones((B, n)), -np.ones((B, n))], axis=1)
+    u = rng.rand(B, n) + 0.5
+    lo = -(rng.rand(B, n) + 0.5)
+    h = np.concatenate([u, -lo], axis=1)
+    p = rng.randn(B, n)
+
+    f = SpQPFunction(Qi, (n, n), Gi, (2 * n, n),
+                     np.zeros((2, 0), int), (0, n))
+    assert f.structure == "banded"
+    z = f(*map(jnp.asarray, (Qv, p, Gv, h)),
+          jnp.zeros((B, 0)), jnp.zeros((B, 0)))
+    Qd = _densify_np(Qi, Qv, (n, n))
+    Gd = _densify_np(Gi, Gv, (2 * n, n))
+    z_ref = qpth_tpu.solve_qp(jnp.asarray(Qd), jnp.asarray(p),
+                              jnp.asarray(Gd), jnp.asarray(h))
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-6)
+    assert (np.asarray(z) <= u + 1e-7).all()
+    assert (np.asarray(z) >= lo - 1e-7).all()
