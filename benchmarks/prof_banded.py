@@ -73,14 +73,18 @@ def densify(Qd, Qe, g):
     return Q, G
 
 
-def chained_time(solve, p0, label):
-    """(t_REPS - t_1)/(REPS-1) with p perturbed by the previous solution."""
+def chained_time(solve, p0, ops):
+    """(t_REPS - t_1)/(REPS-1) with p perturbed by the previous solution.
+
+    ``ops``: every large operand, passed as explicit jit ARGUMENTS — a
+    closure over a (B, n, n) array embeds it as literal HLO constants and
+    blows the axon remote-compile request limit (HTTP 413)."""
     def chain(reps):
         @jax.jit
-        def run(p):
+        def run(p, *ops):
             def body(i, carry):
                 pp, acc = carry
-                z, r = solve(pp)
+                z, r = solve(pp, *ops)
                 return pp + 1e-6 * z, acc + r
             _, acc = lax.fori_loop(0, reps, body,
                                    (p, jnp.zeros((), jnp.float32)))
@@ -88,13 +92,13 @@ def chained_time(solve, p0, label):
         return run
 
     run1, runN = chain(1), chain(REPS)
-    np.asarray(run1(p0))
-    np.asarray(runN(p0))
+    np.asarray(run1(p0, *ops))
+    np.asarray(runN(p0, *ops))
     t1s, tNs = [], []
     for _ in range(TRIALS):
-        t0 = time.perf_counter(); np.asarray(run1(p0))
+        t0 = time.perf_counter(); np.asarray(run1(p0, *ops))
         t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); np.asarray(runN(p0))
+        t0 = time.perf_counter(); np.asarray(runN(p0, *ops))
         tNs.append(time.perf_counter() - t0)
     per = (min(tNs) - min(t1s)) / (REPS - 1)
     return per
@@ -105,36 +109,42 @@ def main():
     f32 = lambda v: None if v is None else jnp.asarray(v, jnp.float32)
     cfg = qpth_tpu.SolverConfig(check_Q_spd=False, verbose=-1)
 
+    cases = [(1024, 16, 16, 0), (512, 16, 32, 0)]
+    if os.environ.get("BANDED_EQ", "0") == "1":
+        cases.append((512, 16, 32, 32))  # equality-coupled variant
     rows = []
-    for (B, nb, bs, neq) in [(1024, 16, 16, 0), (512, 16, 32, 0),
-                             (512, 16, 32, 32)]:
+    for (B, nb, bs, neq) in cases:
         n = nb * bs
         Qd, Qe, p, g, h, A, b = make_chain(rng, B, nb, bs, neq)
         Qdj, Qej, gj, hj, Aj, bj = map(f32, (Qd, Qe, g, h, A, b))
         p0 = f32(p)
 
-        def solve_banded(pp):
+        def solve_banded(pp, Qdj, Qej, gj, hj, Aj, bj):
             sol = qpth_tpu.solve_qp_banded_full(Qdj, Qej, pp, gj, hj,
                                                 Aj, bj, config=cfg)
             return sol.z, sol.stats.best_resids.max()
 
-        tb = chained_time(solve_banded, p0, "banded")
-        sb = qpth_tpu.solve_qp_banded_full(Qdj, Qej, p0, gj, hj, Aj, bj,
-                                           config=cfg)
-        rb = float(np.asarray(sb.stats.best_resids).max())
+        band_ops = (Qdj, Qej, gj, hj, Aj, bj)
+        tb = chained_time(solve_banded, p0, band_ops)
+        sb = jax.jit(solve_banded)(p0, *band_ops)
+        rb = float(np.asarray(sb[1]))
+        zb = np.asarray(sb[0])
+        print(f"  banded n={n} B={B} neq={neq}: {tb*1e3:.1f} ms "
+              f"({B/tb:.0f} qps, resid {rb:.2e})", flush=True)
 
         Qf, Gf = densify(Qd, Qe, g)
         Qj, Gj = jnp.asarray(Qf), jnp.asarray(Gf)
 
-        def solve_dense(pp):
+        def solve_dense(pp, Qj, Gj, hj, Aj, bj):
             sol = qpth_tpu.solve_qp_full(Qj, pp, Gj, hj, Aj, bj,
                                          config=cfg)
             return sol.z, sol.stats.best_resids.max()
 
-        td = chained_time(solve_dense, p0, "dense")
-        sd = qpth_tpu.solve_qp_full(Qj, p0, Gj, hj, Aj, bj, config=cfg)
-        rd = float(np.asarray(sd.stats.best_resids).max())
-        dz = float(np.abs(np.asarray(sb.z) - np.asarray(sd.z)).max())
+        dense_ops = (Qj, Gj, hj, Aj, bj)
+        td = chained_time(solve_dense, p0, dense_ops)
+        sd = jax.jit(solve_dense)(p0, *dense_ops)
+        rd = float(np.asarray(sd[1]))
+        dz = float(np.abs(zb - np.asarray(sd[0])).max())
 
         rows.append((n, bs, B, neq, tb * 1e3, B / tb, rb,
                      td * 1e3, B / td, rd, td / tb, dz))
