@@ -117,15 +117,20 @@ def pallas_inverse_penalty(nz=512, B=1024, trials=3):
     Qj, Gj = jnp.asarray(Q), jnp.asarray(G)
 
     print(f"\nPallas-SPD-inverse penalty, single chip, nz={nz}, B={B}:")
+    print("  (at nz beyond the lanes VMEM wall ~136 both arms take the "
+        "same XLA path — the TP penalty is structurally zero there)")
     for use_pallas in (True, False):
+        # Reduce the result INSIDE jit: reading back a (B, nz, nz) array
+        # through the axon tunnel (~30 MB/s) would dominate the timing.
         f = jax.jit(lambda Q, G: kkt_ops.pre_factor_kkt(
-            Q, G, None, inverse=True, use_pallas_kernels=use_pallas).R)
-        out = f(Qj, Gj)
-        np.asarray(out)   # sync (the axon tunnel ignores block_until_ready)
+            Q, G, None, inverse=True,
+            use_pallas_kernels=use_pallas).R.ravel()[:128].sum())
+        np.asarray(f(Qj, Gj))   # compile+sync (block_until_ready no-ops)
         ts = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            np.asarray(f(Qj, Gj))
+        for i in range(trials):
+            Qi = Qj * (1.0 + 1e-6 * (i + 1))  # distinct inputs: the
+            t0 = time.perf_counter()          # tunnel memoizes repeats
+            np.asarray(f(Qi, Gj))
             ts.append(time.perf_counter() - t0)
         print(f"  use_pallas_kernels={use_pallas}: {min(ts)*1e3:.1f} ms",
               flush=True)
