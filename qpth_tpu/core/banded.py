@@ -282,7 +282,10 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
 
     import numpy as np
 
+    from ..ops.kkt import pallas_hw_ok
+
     use_pallas_stage = (np.dtype(dtype) == np.float32
+                        and pallas_hw_ok()
                         and config.use_pallas not in (False, "xla")
                         and (config.use_pallas != "auto"
                              or jax.default_backend() == "tpu"))
@@ -525,7 +528,10 @@ def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig,
     neq = A.shape[-2] if A is not None else 0
     ci = jnp.arange(n) if g_cols is None else jnp.asarray(g_cols)
 
+    from ..ops.kkt import pallas_hw_ok
+
     use_pallas_stage = (np.dtype(dtype) == np.float32
+                        and pallas_hw_ok()
                         and config.use_pallas not in (False, "xla")
                         and (config.use_pallas != "auto"
                              or jax.default_backend() == "tpu"))

@@ -134,7 +134,9 @@ def _m_solve(fac, r):
 def _use_pallas_m(config: SolverConfig, dtype, neq: int, B: int) -> bool:
     import numpy as np
 
-    if np.dtype(dtype) != np.float32 or neq == 0:
+    from ..ops.kkt import pallas_hw_ok
+
+    if np.dtype(dtype) != np.float32 or neq == 0 or not pallas_hw_ok():
         return False
     up = config.use_pallas
     if up in (False, "xla"):

@@ -386,15 +386,33 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                       fused_step_eq=fused_step_eq)
 
 
+def pallas_hw_ok() -> bool:
+    """Whether Pallas kernels can actually be BUILT for the current
+    backend: Mosaic cannot compile TPU kernels in 64-bit tracing mode
+    (measured: the remote compile helper crashes under
+    ``jax_enable_x64``, even for all-f32 kernels). Interpret mode (CPU
+    tests) is unaffected. When this returns False on TPU every caller
+    falls back to the XLA paths — slower, but correct; this is what
+    makes ``SolverConfig.refine_steps`` (which requires x64) usable
+    on-chip."""
+    import jax
+
+    return not (jax.default_backend() == "tpu"
+                and jax.config.jax_enable_x64)
+
+
 def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:
     """Map SolverConfig.use_pallas ("auto" | bool | "lanes" | "blocked" |
     "xla") to a backend. The Pallas kernels are float32-only; other dtypes
     (float64 CPU test runs, bf16 experiments) fall back to XLA, as do
-    problem sizes whose working set exceeds VMEM (m beyond ~136)."""
+    problem sizes whose working set exceeds VMEM (m beyond ~136) and
+    x64-mode TPU runs (see pallas_hw_ok)."""
     import jax
     import numpy as np
 
     if dtype is not None and np.dtype(dtype) != np.float32:
+        return xla_backend()
+    if not pallas_hw_ok():
         return xla_backend()
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas == "auto":
@@ -433,12 +451,23 @@ def resolve_prefactor_modes(config, dtype=None) -> dict:
     use_pallas = config.use_pallas
     if dtype is not None and np.dtype(dtype) != np.float32:
         use_pallas = False  # Pallas kernels are float32-only
+    # x64-mode TPU: Mosaic cannot build kernels (pallas_hw_ok) — keep the
+    # explicit-inverse representation (the fast cached-products path works
+    # fine through XLA) but build it without Pallas.
+    x64_tpu_fallback = (not pallas_hw_ok() and use_pallas
+                        and (dtype is None
+                             or np.dtype(dtype) == np.float32))
+    if not pallas_hw_ok():
+        use_pallas = False
     if use_pallas == "xla":
         use_pallas = False  # explicit XLA escape hatch: no Pallas anywhere
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
     method = config.solve_method
-    inverse = bool(use_pallas) if method == "auto" else (method == "inverse")
+    if method == "auto":
+        inverse = bool(use_pallas) or bool(x64_tpu_fallback)
+    else:
+        inverse = method == "inverse"
     if use_pallas in (True, "lanes") and not inverse:
         raise ValueError(
             "the lanes Pallas backend applies Q/S11 via explicit inverses; "
