@@ -167,6 +167,11 @@ class SolverConfig:
     #: cost is refine_steps * (3 f64 matvecs + 1 f32 factor+solve pair).
     #: SURVEY §7 hard-part 1's mitigation; anchor: the reference achieves
     #: its accuracy by running f64 end-to-end (reference test.py:69-96).
+    #: Applies to the dense path (solve_qp / QPFunction); the structured
+    #: tiers (solve_qp_diag / solve_qp_banded) ignore it — their smaller
+    #: factored systems already sit 1-2 orders of magnitude below the
+    #: dense f32 plateau (see PERF.md), and full-f64 runs remain
+    #: available for them on CPU.
     refine_steps: int = 0
     #: Gondzio multiple centrality correctors per iteration (beyond the
     #: reference's single Mehrotra corrector). Each one costs a single
