@@ -74,8 +74,6 @@ def mesh_accounting(nz=1024, m=1024, B=2):
             return prefactor_qp_tp(Q, G, None, mesh=mesh)
 
         # prefactor_qp_tp jits internally; lower a wrapper for analysis.
-        import functools
-        from qpth_tpu.utils import as_batched
         from jax.sharding import NamedSharding
 
         def raw(Qb, Gb):

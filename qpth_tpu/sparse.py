@@ -8,7 +8,7 @@ assembled sparse KKT system with a custom CUDA batched sparse QR
 TPU-native disposition (SURVEY §7 stretch; BASELINE sparse row of §2.4): TPU
 has no sparse QR; dynamic sparsity defeats XLA's static-shape compilation.
 Since the pattern is static per layer instance, we *compile the structure
-in* — on two tiers:
+in* — on three tiers:
 
 1. **Diagonal patterns** (the ones OptNet layers actually use: the sudoku
    layer's ``Q = eps*I``, ``G = -I``, reference sudoku notebook cell 10):
@@ -29,8 +29,8 @@ in* — on two tiers:
    (half the value from each triangle lands in the shared subdiagonal
    block slot), which matches the dense path exactly for symmetric
    patterns; n is padded to a block multiple with decoupled dummy
-   variables (q=1, g=1, h=1, p=0) whose lanes never interact with the
-   real ones.
+   variables (q=1, p=0, no inequality rows) whose lanes never interact
+   with the real ones.
 3. **General patterns**: values are scattered into dense batched operands
    (a static gather/scatter XLA fuses away) and the dense Cholesky-Schur
    path runs on the MXU — for moderate sizes faster on TPU than any
@@ -42,14 +42,14 @@ reference's boolean-mask trick (qp.py:229-248).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import QPSolvers, SolverConfig
-from .qp import DEFAULT_CONFIG, solve_qp
+from .qp import solve_qp
 
 
 def _densify(idx, vals, shape):
