@@ -74,21 +74,28 @@ def _canon_banded(Qd, Qe, p, g, h, A, b):
 
 
 def _cols(meta):
-    gc = meta[-1]
+    gc = meta[5]
     return None if gc is None else __import__("numpy").asarray(gc)
+
+
+def _spec(meta):
+    """The GeneralG spec (arbitrary-pattern G) or None (separable G)."""
+    return meta[6]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _band_core_fn(Qd, Qe, pb, gb, hb, Ab, bb, init, config: SolverConfig,
                   meta):
     return band_core.solve_banded(Qd, Qe, pb, gb, hb, Ab, bb, config,
-                                  init=init, g_cols=_cols(meta)).z
+                                  init=init, g_cols=_cols(meta),
+                                  gen_g=_spec(meta)).z
 
 
 def _band_fwd(Qd, Qe, pb, gb, hb, Ab, bb, init, config: SolverConfig,
               meta):
     sol = band_core.solve_banded(Qd, Qe, pb, gb, hb, Ab, bb, config,
-                                 init=init, g_cols=_cols(meta))
+                                 init=init, g_cols=_cols(meta),
+                                 gen_g=_spec(meta))
     return sol.z, (sol.z, sol.lam, sol.s, sol.nu, Qd, Qe, gb, Ab, init)
 
 
@@ -107,8 +114,10 @@ def _band_bwd(config: SolverConfig, meta, res, dl_dz):
     Qd_full = jnp.broadcast_to(Qd, (B, nb, bs, bs))
     Qe_full = jnp.broadcast_to(Qe, (B, max(nb - 1, 0), bs, bs))
     g_cols = _cols(meta)
+    spec = _spec(meta)
     dx, _, dlam, dnu = band_core.solve_kkt_banded(
-        Qd_full, Qe_full, gb, Ab, d, dl_dz, config, g_cols=g_cols)
+        Qd_full, Qe_full, gb, Ab, d, dl_dz, config, g_cols=g_cols,
+        gen_g=spec)
     import numpy as _np
     ci = (_np.arange(n) if g_cols is None else g_cols)
 
@@ -123,9 +132,14 @@ def _band_bwd(config: SolverConfig, meta, res, dl_dz):
     else:
         dQe = jnp.zeros((B, 0, bs, bs), dt)
     dp = dx
-    # Separable-G restriction of dG = dlam z^T + lam dx^T: row r touches
-    # only column ci[r].
-    dg = dlam * zhat[:, ci] + lam * dx[:, ci]
+    if spec is not None:
+        # Pattern restriction of dG = dlam z^T + lam dx^T: entry k is
+        # (rows[k], cols[k]).
+        gr_, gc_ = spec.rows, spec.cols
+        dg = dlam[:, gr_] * zhat[:, gc_] + lam[:, gr_] * dx[:, gc_]
+    else:
+        # Separable-G restriction: row r touches only column ci[r].
+        dg = dlam * zhat[:, ci] + lam * dx[:, ci]
     dh = -dlam
     mean_mode = config.broadcast_grad_reduction == "mean"
     if neq > 0:
@@ -165,7 +179,7 @@ _band_core_fn.defvjp(_band_fwd, _band_bwd)
 
 def solve_qp_banded(Qd, Qe, p, g, h, A=None, b=None,
                     config: SolverConfig = DEFAULT_CONFIG, init=None,
-                    g_cols=None):
+                    g_cols=None, g_spec=None):
     """Differentiable batched banded-structure QP solve; returns z*.
 
     Qd: (B?, nb, bs, bs) symmetric diagonal blocks of Q; Qe: (B?, nb-1,
@@ -175,24 +189,30 @@ def solve_qp_banded(Qd, Qe, p, g, h, A=None, b=None,
     row coefficients and ``g_cols`` (static, length m) the column each
     row touches. g_cols=None means G = diag(g) with m = n; box
     constraints [I; -I] are g_cols = list(range(n)) * 2 with
-    g = [1]*n + [-1]*n. h: (B?, m); A: (B?, neq, n) dense or None; b
-    matching. Unbatched parameters receive summed cotangents
-    (``broadcast_grad_reduction`` as in :func:`qpth_tpu.solve_qp`).
+    g = [1]*n + [-1]*n. Alternatively ``g_spec``
+    (:class:`qpth_tpu.core.banded.GeneralG`) describes an ARBITRARY
+    fixed-pattern sparse G; ``g`` is then the (B?, nnz) entry values and
+    its cotangent lands on the pattern. h: (B?, m); A: (B?, neq, n)
+    dense or None; b matching. Unbatched parameters receive summed
+    cotangents (``broadcast_grad_reduction`` as in
+    :func:`qpth_tpu.solve_qp`).
     """
+    if g_cols is not None and g_spec is not None:
+        raise ValueError("g_cols and g_spec are mutually exclusive")
     Qd, Qe, pb, gb, hb, Ab, bb, meta = _canon_banded(Qd, Qe, p, g, h, A, b)
     gc = None if g_cols is None else tuple(int(c) for c in g_cols)
     return _band_core_fn(Qd, Qe, pb, gb, hb, Ab, bb, init, config,
-                         meta + (gc,))
+                         meta + (gc, g_spec))
 
 
 def solve_qp_banded_full(Qd, Qe, p, g, h, A=None, b=None,
                          config: SolverConfig = DEFAULT_CONFIG,
-                         init=None, g_cols=None) -> QPSolution:
+                         init=None, g_cols=None, g_spec=None) -> QPSolution:
     """Forward-only banded-structure solve with full primal-dual solution
-    and stats (not differentiable). Same separable-G contract as
+    and stats (not differentiable). Same G contract as
     :func:`solve_qp_banded`."""
     Qd, Qe, pb, gb, hb, Ab, bb, _ = _canon_banded(Qd, Qe, p, g, h, A, b)
     import numpy as _np
     gc = None if g_cols is None else _np.asarray(g_cols)
     return band_core.solve_banded(Qd, Qe, pb, gb, hb, Ab, bb, config,
-                                  init=init, g_cols=gc)
+                                  init=init, g_cols=gc, gen_g=g_spec)

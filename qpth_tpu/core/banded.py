@@ -181,6 +181,116 @@ def _spd_inv_stage(use_pallas: bool):
     return inv
 
 
+class GeneralG:
+    """Arbitrary fixed-pattern sparse G for the general structured tier.
+
+    Static COO pattern ``(rows, cols)`` — ``cols`` in the (possibly
+    RCM-permuted) variable order the banded solver runs in — with
+    per-batch values supplied at call time as the solver's ``g`` argument
+    of shape (B, nnz). Construction precomputes the scatter maps that
+    assemble ``G^T diag(w) G`` into the block-tridiagonal band: every
+    ordered within-row entry pair (k1, k2) lands in a diagonal-block slot
+    (blk, r, c) or — when the two columns sit in adjacent blocks — a
+    subdiagonal-block slot. Pairs spanning more than one block fall
+    outside the band and raise (the caller chooses ``bs`` from the
+    bandwidth of Q ∪ G^T G, so a well-formed plan cannot hit this).
+
+    This is the TPU-native replacement for the reference's arbitrary-
+    pattern sparse KKT assembly (`cat_kkt`,
+    /root/reference/qpth/solvers/pdipm/spbatch.py:184-243): the pattern
+    is compiled into static scatter maps instead of runtime sparse
+    tensors. Hashable on the static pattern so it can ride custom_vjp
+    nondiff metadata and jit static closures.
+    """
+
+    def __init__(self, m, n, bs, nb, rows, cols):
+        import numpy as np
+
+        self.m, self.n = int(m), int(n)
+        self.bs, self.nb = int(bs), int(nb)
+        self.rows = np.asarray(rows, np.int32).reshape(-1)
+        self.cols = np.asarray(cols, np.int32).reshape(-1)
+        byrow = {}
+        for k, r in enumerate(self.rows):
+            byrow.setdefault(int(r), []).append(k)
+        hd, qe = [], []
+        for ks in byrow.values():
+            for k1 in ks:
+                c1 = int(self.cols[k1])
+                b1 = c1 // self.bs
+                for k2 in ks:
+                    c2 = int(self.cols[k2])
+                    b2 = c2 // self.bs
+                    if b1 == b2:
+                        hd.append((k1, k2, b1, c1 % self.bs, c2 % self.bs))
+                    elif b1 == b2 + 1:
+                        qe.append((k1, k2, b2, c1 % self.bs, c2 % self.bs))
+                    elif b1 == b2 - 1:
+                        pass    # implied transpose of a qe pair
+                    else:
+                        raise ValueError(
+                            "G^T G entry pair spans non-adjacent blocks; "
+                            "bs must cover the bandwidth of Q ∪ G^T G")
+        self.hd = np.asarray(hd, np.int32).reshape(-1, 5).T
+        self.qe = np.asarray(qe, np.int32).reshape(-1, 5).T
+        #: row of each pair (for the diag-weight gather d[:, row]).
+        self.hd_row = self.rows[self.hd[0]] if self.hd.size else self.hd[0]
+        self.qe_row = self.rows[self.qe[0]] if self.qe.size else self.qe[0]
+        self._key = (self.m, self.n, self.bs, self.nb,
+                     self.rows.tobytes(), self.cols.tobytes())
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, GeneralG) and self._key == other._key
+
+
+def _gen_ops(gen_g: GeneralG, g, B, n, dtype):
+    """(gmul, gtmul, h_assemble) for a general sparse G with values g
+    (B, nnz). h_assemble(Qd, Qe, d) returns (Hd, He) = the band of
+    Q + G^T diag(d) G via the precomputed pair scatters."""
+    import numpy as np
+
+    gr = jnp.asarray(gen_g.rows)
+    gc = jnp.asarray(gen_g.cols)
+    m = gen_g.m
+
+    def gmul(v):
+        """G v: (B, n) -> (B, m), static scatter-add over entries."""
+        return jnp.zeros((B, m), dtype).at[:, gr].add(g * v[:, gc])
+
+    def gtmul(w):
+        """G^T w: (B, m) -> (B, n)."""
+        return jnp.zeros((B, n), dtype).at[:, gc].add(g * w[:, gr])
+
+    hk1, hk2, hb, hr, hc = [jnp.asarray(x) for x in gen_g.hd]
+    hrow = jnp.asarray(gen_g.hd_row)
+    has_qe = bool(np.asarray(gen_g.qe).size)
+    if has_qe:
+        qk1, qk2, qb, qr, qc = [jnp.asarray(x) for x in gen_g.qe]
+        qrow = jnp.asarray(gen_g.qe_row)
+
+    def h_assemble(Qd, Qe, d):
+        w_hd = g[:, hk1] * g[:, hk2] * d[:, hrow]
+        Hd = Qd.at[:, hb, hr, hc].add(w_hd)
+        if has_qe:
+            w_qe = g[:, qk1] * g[:, qk2] * d[:, qrow]
+            He = Qe.at[:, qb, qr, qc].add(w_qe)
+        else:
+            He = Qe
+        return Hd, He
+
+    return gmul, gtmul, h_assemble
+
+
+def _d_cap(dtype):
+    """Cap for the slack weighting d = z/s in the general-G condensed
+    system: ~1/eps of the dtype, so G^T diag(d) G keeps a few digits of
+    headroom over the O(1) Q it is added to."""
+    return 1e10 if jnp.dtype(dtype).itemsize >= 8 else 1e5
+
+
 class _BandState(NamedTuple):
     x: jnp.ndarray
     s: jnp.ndarray
@@ -199,9 +309,12 @@ class _BandState(NamedTuple):
 
 
 def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
-                 init=None, g_cols=None) -> QPSolution:
+                 init=None, g_cols=None, gen_g=None) -> QPSolution:
     """Batched IPM with block-tridiagonal Q and *separable* G: each
-    inequality row involves exactly one variable.
+    inequality row involves exactly one variable — or, with ``gen_g``,
+    an ARBITRARY fixed-pattern sparse G (see :class:`GeneralG`; ``g`` is
+    then the (B?, nnz) entry values and G^T diag(d) G is assembled into
+    the band by static pair scatters each iteration).
 
     Qd: (B?, nb, bs, bs) diagonal blocks (symmetric); Qe: (B?, nb-1, bs,
     bs) subdiagonal blocks ((i+1, i); the (i, i+1) blocks are implied
@@ -253,10 +366,14 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
     else:
         neq = 0
         b = None
-    m = g.shape[-1]
-    if g_cols is None:
+    h_assemble = None
+    if gen_g is not None:
+        m = gen_g.m
+        gmul, gtmul, h_assemble = _gen_ops(gen_g, g, B, n, dtype)
+    elif g_cols is None:
         # Diagonal G: gather/scatter degenerate to elementwise products
         # (XLA is not guaranteed to simplify an iota-gather).
+        m = g.shape[-1]
         assert m == n, "diagonal G requires g of length n"
 
         def gmul(v):
@@ -265,6 +382,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         def gtmul(w):
             return g * w
     else:
+        m = g.shape[-1]
         ci = jnp.asarray(g_cols)
 
         def gmul(v):
@@ -306,9 +424,13 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         """Complete + factor H = Q + G^T diag(d) G; returns (fac, X, Mfac)
         with X = H^-1 A^T and Mfac the factored normal-equations matrix
         M = A H^-1 A^T (both None when neq == 0)."""
-        shift = blocks(gtmul(g * d))
-        Hd = Qd + q_diag_embed.at[..., eye_idx, eye_idx].set(shift)
-        fac = bt_factor(Hd, Qe, spd_inv)
+        if h_assemble is not None:
+            Hd, He = h_assemble(Qd, Qe, d)
+        else:
+            shift = blocks(gtmul(g * d))
+            Hd = Qd + q_diag_embed.at[..., eye_idx, eye_idx].set(shift)
+            He = Qe
+        fac = bt_factor(Hd, He, spd_inv)
         if neq == 0:
             return fac, None, None
         AT = jnp.transpose(A_blocks, (0, 2, 3, 1))      # (B, nb, bs, neq)
@@ -317,7 +439,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         Mfac = _factor_spd(M, use_pallas_M)
         return fac, X, Mfac
 
-    def solve_newton(fac, X, Mfac, rx, rs, rz, ry, d):
+    def solve_newton_base(fac, X, Mfac, rx, rs, rz, ry, d):
         """Same elimination as the diagonal tier (G diagonal); the H-solve
         is the block-Thomas sweep and dx reuses X = H^-1 A^T so the dy
         back-substitution costs one GEMM, not another sweep."""
@@ -343,6 +465,45 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         ds = -gdx if rz is None else (-rz - gdx)
         dz = -d * ds if rs is None else (-rs - d * ds)
         return dx, ds, dz, dy
+
+    if gen_g is None:
+        solve_newton = solve_newton_base
+    else:
+        def solve_newton(fac, X, Mfac, rx, rs, rz, ry, d):
+            """General-G Newton solve with iterative refinement.
+
+            Primal condensation recovers dz = -rs - d*ds, amplifying the
+            H-solve error by d — for active rows (d up to the cap) the
+            raw direction's dual residual is O(cond(H)*eps*d), junk near
+            convergence, and the IPM stalls at sqrt(eps)-level residuals
+            (the separable path is immune: its diagonally-dominant H
+            solves to ~eps). The primal and complementarity equations
+            hold exactly by construction, so the error sits entirely in
+            the dual equation; refinement against it with the cached
+            factorization contracts the error by cond(H)*eps per pass —
+            two passes reach the dtype floor. This is the role
+            regularized IR plays in the reference (solve_kkt_ir,
+            batch.py:244-310) and in its sparse tier (spbatch.py:259-267,
+            one refinement against the regularized K̃)."""
+            dx, ds, dz, dy = solve_newton_base(fac, X, Mfac,
+                                               rx, rs, rz, ry, d)
+            for _ in range(2):
+                e_dual = gtmul(dz) + flat(bt_mul(Qd, Qe, blocks(dx)))
+                if rx is not None:
+                    e_dual = e_dual + rx
+                if neq > 0:
+                    e_dual = e_dual + btmv(A, dy)
+                    e_y = bmv(A, dx)
+                    if ry is not None:
+                        e_y = e_y + ry
+                else:
+                    e_y = None
+                cx, cs, cz, cy = solve_newton_base(
+                    fac, X, Mfac, e_dual, None, None, e_y, d)
+                dx, ds, dz = dx + cx, ds + cs, dz + cz
+                if neq > 0:
+                    dy = dy + cy
+            return dx, ds, dz, dy
 
     # ---- Init: d = 1, RHS (p, 0, -h, -b) (batch.py:61-67) ----
     if init is None:
@@ -424,6 +585,15 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         def do_step(args):
             x, s, z, y = args
             d = z / s
+            if gen_g is not None:
+                # General-G only: cap d. The separable shift H = Q +
+                # diag(g^2 d) stays SPD-stable at any d, but the general
+                # G^T diag(d) G cross terms cancel catastrophically in
+                # the block-Thomas recursion once d >> 1/eps(dtype) —
+                # lanes then NaN-freeze mid-convergence. Capping bounds
+                # cond(H) at the cost of an O(1/dmax)-perturbed barrier,
+                # well below the attainable residual floor either way.
+                d = jnp.minimum(d, _d_cap(dtype))
             fac, X, Mfac = factor_all(d)
 
             # Predictor (rs := z, batch.py:98).
@@ -513,13 +683,15 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
 
 
 def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig,
-                     g_cols=None):
+                     g_cols=None, gen_g=None):
     """One Newton solve of the banded-structure KKT system at a given
     diagonal d with RHS (rx, 0, 0, 0) — the backward pass's single extra
     solve (the banded analog of qp.py:148-155). Inputs are canonically
     batched: Qd (B, nb, bs, bs), Qe (B, nb-1, bs, bs), g (B, m) with the
-    separable-G column map g_cols (None = diagonal), A (bA, neq, n) or
-    None, d (B, m), rx (B, n). Returns (dx, ds, dz, dy)."""
+    separable-G column map g_cols (None = diagonal) — or, with ``gen_g``
+    (:class:`GeneralG`), g the (B, nnz) general-pattern entry values —
+    A (bA, neq, n) or None, d (B, m), rx (B, n). Returns
+    (dx, ds, dz, dy)."""
     import numpy as np
 
     B, nb, bs = Qd.shape[0], Qd.shape[1], Qd.shape[-1]
@@ -541,12 +713,18 @@ def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig,
         use_pallas_stage = lanes_supported(bs, B)
     spd_inv = _spd_inv_stage(use_pallas_stage)
 
-    shift = jnp.zeros((B, n), dtype).at[:, ci].add(
-        g * g * d).reshape(B, nb, bs)
-    eye_idx = jnp.arange(bs)
-    Hd = Qd + jnp.zeros((B, nb, bs, bs), dtype).at[
-        ..., eye_idx, eye_idx].set(shift)
-    fac = bt_factor(Hd, Qe, spd_inv)
+    if gen_g is not None:
+        d = jnp.minimum(d, _d_cap(dtype))    # see do_step's cap rationale
+        gmul_gen, _, h_assemble = _gen_ops(gen_g, g, B, n, dtype)
+        Hd, He = h_assemble(jnp.broadcast_to(Qd, (B, nb, bs, bs)), Qe, d)
+    else:
+        shift = jnp.zeros((B, n), dtype).at[:, ci].add(
+            g * g * d).reshape(B, nb, bs)
+        eye_idx = jnp.arange(bs)
+        Hd = Qd + jnp.zeros((B, nb, bs, bs), dtype).at[
+            ..., eye_idx, eye_idx].set(shift)
+        He = Qe
+    fac = bt_factor(Hd, He, spd_inv)
 
     rt = -rx
     u = bt_solve(fac, rt.reshape(B, nb, bs)).reshape(B, n)
@@ -562,6 +740,6 @@ def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig,
     else:
         dy = None
         dx = u
-    ds = -g * dx[:, ci]
+    ds = -gmul_gen(dx) if gen_g is not None else -g * dx[:, ci]
     dz = -d * ds
     return dx, ds, dz, dy

@@ -31,10 +31,19 @@ in* — on three tiers:
    patterns; n is padded to a block multiple with decoupled dummy
    variables (q=1, p=0, no inequality rows) whose lanes never interact
    with the real ones.
-3. **General patterns**: values are scattered into dense batched operands
-   (a static gather/scatter XLA fuses away) and the dense Cholesky-Schur
-   path runs on the MXU — for moderate sizes faster on TPU than any
-   sparse triangular machinery.
+3. **General fixed patterns** (arbitrary COO Q and G — the full contract
+   of the reference's sparse tier): the bandwidth of the condensed-system
+   pattern patt(Q) ∪ patt(G^T G) is minimized with a reverse-Cuthill-McKee
+   reordering (computed once at construction), and the block-Thomas solver
+   runs in the permuted space with G^T diag(d) G assembled into the band
+   by static pair scatters (:class:`qpth_tpu.core.banded.GeneralG`).
+   Sub-dense O(nb * bs^3) per-iteration cost for any pattern RCM can
+   compress to moderate bandwidth — the scaling the reference gets from
+   batched sparse QR, delivered without sparse triangular machinery.
+4. **Incompressible patterns**: values are scattered into dense batched
+   operands (a static gather/scatter XLA fuses away) and the dense
+   Cholesky-Schur path runs on the MXU — on such patterns the reference's
+   sparse QR fills in and pays dense cost too.
 
 Gradients are gathered back to the pattern in all tiers, replacing the
 reference's boolean-mask trick (qp.py:229-248).
@@ -98,7 +107,7 @@ class SpQPFunction:
         # this is a construction-time numpy check, never traced): diagonal
         # Q and diagonal square G qualify for the diagonal structured
         # solver; banded Q with diagonal G for the block-Thomas tier.
-        if structure not in ("auto", "diag", "banded", "dense"):
+        if structure not in ("auto", "diag", "banded", "general", "dense"):
             raise ValueError(structure)
         self.structure = structure
         if structure == "auto":
@@ -116,6 +125,8 @@ class SpQPFunction:
                 # separable G (box stacks) belongs here, not the dense
                 # tier — the diag tier requires square diagonal G.
                 self.structure = "banded"
+            elif pdipm and self._plan_general(qi, gi):
+                self.structure = "general"
             else:
                 self.structure = "dense"
         elif structure == "banded":
@@ -126,6 +137,13 @@ class SpQPFunction:
                     "structure='banded' requires separable G (at most one "
                     "variable per inequality row) and a banded Q pattern "
                     "(bandwidth <= n/4, >= 3 blocks)")
+        elif structure == "general":
+            if not self._plan_general(np.asarray(self.Qi),
+                                      np.asarray(self.Gi)):
+                raise ValueError(
+                    "structure='general' requires the RCM bandwidth of "
+                    "patt(Q) ∪ patt(G^T G) to be moderate (<= n/3 and "
+                    "<= 128, >= 3 blocks) and no dense G rows")
 
     def _plan_separable_g(self, gi) -> bool:
         """G is separable when every inequality row touches at most one
@@ -139,27 +157,13 @@ class SpQPFunction:
         self._g_ci = ci
         return True
 
-    def _plan_banded(self, qi, allow_diag: bool = False) -> bool:
-        """Static banded-pattern analysis: choose a block size bs so Q is
-        block-tridiagonal, precompute the COO -> (Qd, Qe) scatter indices
-        (upper/lower cross-block entries symmetrized at half weight), and
-        the padding plan. Returns False when the pattern is not usefully
-        banded (the dense tier then applies). ``allow_diag``: accept a
-        purely diagonal Q too (used when G is separable but not square
-        diagonal, where the diag tier cannot take the problem)."""
-        n = self.Qsz[0]
-        if self.Qsz[0] != self.Qsz[1] or qi.shape[1] == 0:
-            return False
-        w = int(np.abs(qi[0] - qi[1]).max())
-        if w == 0 and not allow_diag:
-            return False  # diagonal — handled by the diag tier
-        bs = max(w, 8 if n >= 64 else 2)
-        nb = -(-n // bs)
-        if nb < 3 or bs > 128 or w > n // 4:
-            return False
-        n_pad = nb * bs
+    def _q_scatter_maps(self, qi, bs, nb) -> bool:
+        """Precompute the COO -> (Qd, Qe) scatter indices for a given
+        blocking (upper/lower cross-block entries symmetrized at half
+        weight; see module docstring). False if any entry falls outside
+        the block-tridiagonal band."""
         br, bc = qi[0] // bs, qi[1] // bs
-        if np.abs(br - bc).max() > 1:   # cannot happen with bs >= w
+        if qi.shape[1] and np.abs(br - bc).max() > 1:
             return False
         on_diag = br == bc
         lower = br == bc + 1
@@ -179,7 +183,94 @@ class SpQPFunction:
             np.concatenate([qi[0][lower] % bs, qi[1][upper] % bs]),
             np.concatenate([qi[1][lower] % bs, qi[0][upper] % bs]),
         )
-        self._band = (n, bs, nb, n_pad)
+        return True
+
+    def _plan_banded(self, qi, allow_diag: bool = False) -> bool:
+        """Static banded-pattern analysis: choose a block size bs so Q is
+        block-tridiagonal, precompute the COO -> (Qd, Qe) scatter indices,
+        and the padding plan. Returns False when the pattern is not
+        usefully banded (the general/dense tiers then apply).
+        ``allow_diag``: accept a purely diagonal Q too (used when G is
+        separable but not square diagonal, where the diag tier cannot
+        take the problem)."""
+        n = self.Qsz[0]
+        if self.Qsz[0] != self.Qsz[1] or qi.shape[1] == 0:
+            return False
+        w = int(np.abs(qi[0] - qi[1]).max())
+        if w == 0 and not allow_diag:
+            return False  # diagonal — handled by the diag tier
+        bs = max(w, 8 if n >= 64 else 2)
+        nb = -(-n // bs)
+        if nb < 3 or bs > 128 or w > n // 4:
+            return False
+        if not self._q_scatter_maps(qi, bs, nb):
+            return False    # cannot happen with bs >= w
+        self._band = (n, bs, nb, nb * bs)
+        return True
+
+    def _plan_general(self, qi, gi) -> bool:
+        """General fixed-pattern tier: reduce the bandwidth of the
+        condensed-system pattern K = patt(Q) ∪ patt(G^T G) with a
+        reverse-Cuthill-McKee reordering, then run the block-tridiagonal
+        solver in the permuted space with G^T diag(d) G assembled into
+        the band by static pair scatters (core.banded.GeneralG). This is
+        the arbitrary-pattern analog of the reference's sparse-KKT tier
+        (cat_kkt + batched sparse QR, spbatch.py:184-269): any fixed
+        pattern whose RCM bandwidth is moderate gets sub-dense
+        O(nb * bs^3) per-iteration cost; patterns RCM cannot compress
+        fall back to the dense tier (where a dense factor is the honest
+        cost anyway — the reference's QR fills in on those too)."""
+        n = self.Qsz[0]
+        m = self.Gsz[0]
+        if self.Qsz[0] != self.Qsz[1] or qi.shape[1] == 0:
+            return False
+        try:
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+        except ImportError:         # pragma: no cover
+            return False
+        # Within-row column pairs of G (the pattern of G^T G) — with a
+        # budget gate so a dense G row cannot explode the pair list.
+        byrow = {}
+        for r, c in zip(gi[0], gi[1]):
+            byrow.setdefault(int(r), []).append(int(c))
+        npairs = sum(len(cs) * len(cs) for cs in byrow.values())
+        if npairs > max(128 * n, 8 * gi.shape[1]):
+            return False
+        pr, pc = [], []
+        for cs in byrow.values():
+            for c1 in cs:
+                for c2 in cs:
+                    pr.append(c1)
+                    pc.append(c2)
+        rk = np.concatenate([qi[0], qi[1], np.asarray(pr, qi.dtype)])
+        ck = np.concatenate([qi[1], qi[0], np.asarray(pc, qi.dtype)])
+        K = sp.csr_matrix((np.ones(rk.size), (rk, ck)), shape=(n, n))
+        perm = np.asarray(reverse_cuthill_mckee(K, symmetric_mode=True),
+                          np.int64)
+        invp = np.empty(n, np.int64)
+        invp[perm] = np.arange(n)
+        coo = K.tocoo()
+        w_rcm = int(np.abs(invp[coo.row] - invp[coo.col]).max())
+        w_nat = int(np.abs(coo.row - coo.col).max())
+        if w_nat <= w_rcm:          # RCM can worsen an already-good order
+            perm = np.arange(n)
+            invp = perm
+            w = w_nat
+        else:
+            w = w_rcm
+        bs = max(w, 8 if n >= 64 else 2)
+        nb = -(-n // bs)
+        if nb < 3 or bs > 128 or w > n // 3:
+            return False
+        qi_p = np.stack([invp[qi[0]], invp[qi[1]]])
+        if not self._q_scatter_maps(qi_p, bs, nb):
+            return False            # cannot happen with bs >= w
+        from .core.banded import GeneralG
+
+        spec = GeneralG(m, nb * bs, bs, nb, gi[0], invp[gi[1]])
+        self._gen = (perm, invp, spec)
+        self._band = (n, bs, nb, nb * bs)
         return True
 
     def __call__(self, Qv, p, Gv, h, Av, b):
@@ -188,6 +279,8 @@ class SpQPFunction:
             return self._call_diag(Qv, p, Gv, h, Av, b)
         if self.structure == "banded":
             return self._call_banded(Qv, p, Gv, h, Av, b)
+        if self.structure == "general":
+            return self._call_general(Qv, p, Gv, h, Av, b)
         Q = _densify(self.Qi, Qv, self.Qsz)
         G = _densify(self.Gi, Gv, self.Gsz)
         A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
@@ -213,6 +306,26 @@ class SpQPFunction:
                              b if self.neq > 0 else None,
                              config=self.config)
 
+    def _band_blocks(self, Qv):
+        """Scatter pattern values into block-tridiagonal (Qd, Qe) with the
+        precomputed maps (padded tail gets the identity diagonal so the
+        dummy variables stay decoupled)."""
+        B = Qv.shape[0]
+        n, bs, nb, n_pad = self._band
+        dt = Qv.dtype
+        Qd = jnp.zeros((B, nb, bs, bs), dt).at[
+            :, self._qd_idx[0], self._qd_idx[1], self._qd_idx[2]].add(
+                Qv[:, self._qd_sel])
+        Qe = jnp.zeros((B, nb - 1, bs, bs), dt).at[
+            :, self._qe_idx[0], self._qe_idx[1], self._qe_idx[2]].add(
+                0.5 * Qv[:, self._qe_sel])
+        if n_pad > n:
+            tail = np.arange(n, n_pad)
+            qd_pad = np.zeros((nb, bs, bs), np.float64)
+            qd_pad[tail // bs, tail % bs, tail % bs] = 1.0
+            Qd = Qd + jnp.asarray(qd_pad, dt)
+        return Qd, Qe
+
     def _call_banded(self, Qv, p, Gv, h, Av, b):
         """Banded dispatch: scatter pattern values into block-tridiagonal
         (Qd, Qe) + the separable-G row coefficients, pad n to a block
@@ -225,12 +338,7 @@ class SpQPFunction:
         n, bs, nb, n_pad = self._band
         m = self.Gsz[0]
         dt = Qv.dtype
-        Qd = jnp.zeros((B, nb, bs, bs), dt).at[
-            :, self._qd_idx[0], self._qd_idx[1], self._qd_idx[2]].add(
-                Qv[:, self._qd_sel])
-        Qe = jnp.zeros((B, nb - 1, bs, bs), dt).at[
-            :, self._qe_idx[0], self._qe_idx[1], self._qe_idx[2]].add(
-                0.5 * Qv[:, self._qe_sel])
+        Qd, Qe = self._band_blocks(Qv)
         # Row coefficients of the separable G (one variable per row;
         # self._g_ci maps rows to columns).
         g = jnp.zeros((B, m), Gv.dtype).at[:, self.Gi[0]].add(Gv)
@@ -238,14 +346,11 @@ class SpQPFunction:
         p = jnp.broadcast_to(jnp.atleast_2d(p), (B, n))
         h = jnp.broadcast_to(jnp.atleast_2d(h), (B, m))
         if n_pad > n:
-            # Dummy tail variables: q = 1 identity diagonal, p = 0, no
-            # inequality rows (separable G decouples m from n), zero A
-            # columns — decoupled from the real lanes.
+            # Dummy tail variables: q = 1 identity diagonal (added in
+            # _band_blocks), p = 0, no inequality rows (separable G
+            # decouples m from n), zero A columns — decoupled from the
+            # real lanes.
             pad = n_pad - n
-            tail = np.arange(n, n_pad)
-            qd_pad = np.zeros((nb, bs, bs), np.float64)
-            qd_pad[tail // bs, tail % bs, tail % bs] = 1.0
-            Qd = Qd + jnp.asarray(qd_pad, dt)
             p = jnp.pad(p, ((0, 0), (0, pad)))
             if A is not None:
                 A = jnp.pad(A, ((0, 0), (0, 0), (0, pad)))
@@ -253,3 +358,32 @@ class SpQPFunction:
                             b if self.neq > 0 else None,
                             config=self.config, g_cols=self._g_ci)
         return z[:, :n]
+
+    def _call_general(self, Qv, p, Gv, h, Av, b):
+        """General-pattern dispatch: run the block-tridiagonal solver in
+        the RCM-permuted variable order with G^T D G assembled into the
+        band from the COO values by static pair scatters (the
+        arbitrary-fixed-pattern analog of the reference's sparse tier,
+        spbatch.py:29-174); gather the solution back to the natural
+        order. Fully differentiable — cotangents flow back through the
+        scatters, pads, and permutation gathers onto the values."""
+        from .bandqp import solve_qp_banded
+
+        perm, invp, spec = self._gen
+        B = Qv.shape[0]
+        n, bs, nb, n_pad = self._band
+        m = self.Gsz[0]
+        Qd, Qe = self._band_blocks(Qv)
+        A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
+        p = jnp.broadcast_to(jnp.atleast_2d(p), (B, n))[:, perm]
+        h = jnp.broadcast_to(jnp.atleast_2d(h), (B, m))
+        if A is not None:
+            A = A[:, :, perm]
+        if n_pad > n:
+            p = jnp.pad(p, ((0, 0), (0, n_pad - n)))
+            if A is not None:
+                A = jnp.pad(A, ((0, 0), (0, 0), (0, n_pad - n)))
+        z = solve_qp_banded(Qd, Qe, p, Gv, h, A,
+                            b if self.neq > 0 else None,
+                            config=self.config, g_spec=spec)
+        return z[:, invp]

@@ -204,21 +204,23 @@ def test_banded_pattern_auto_dispatch(rng):
 
 
 def test_banded_detection_boundaries(rng):
-    """Dense-bandwidth and non-diagonal-G patterns stay on the dense tier;
+    """Dense-bandwidth patterns stay on the dense tier; banded Q with a
+    non-separable (but still narrow) G lands on the general tier;
     structure='banded' can be forced where legal."""
     n = 24
-    # full-bandwidth pattern -> dense
+    # full-bandwidth pattern -> dense (RCM cannot compress it either)
     Qi_dense = np.stack(np.nonzero(np.ones((n, n))))
     Gi = np.stack([np.arange(n), np.arange(n)])
     f = SpQPFunction(Qi_dense, (n, n), Gi, (n, n),
                      np.zeros((2, 0), int), (0, n))
     assert f.structure == "dense"
-    # banded Q but non-diagonal G -> dense
+    # banded Q but non-separable G: the general tier (pattern of
+    # Q ∪ G^T G still narrow-banded) takes it now instead of densifying
     Qi, _, _, _, _, _, Ai, _, _, _ = _banded_problem(rng, n=n, neq=0)
     Gi_nd = np.array([[0, 0], [0, 1]])
     f2 = SpQPFunction(Qi, (n, n), Gi_nd, (n, n),
                       np.zeros((2, 0), int), (0, n))
-    assert f2.structure == "dense"
+    assert f2.structure == "general"
 
 
 def test_box_pattern_dispatches_banded(rng):
@@ -249,3 +251,108 @@ def test_box_pattern_dispatches_banded(rng):
     npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-6)
     assert (np.asarray(z) <= u + 1e-7).all()
     assert (np.asarray(z) >= lo - 1e-7).all()
+
+
+def _general_problem(rng, n=30, m=24, neq=4, B=3, w=3):
+    """Scrambled banded Q (RCM must recover the order) + multi-column G
+    rows + dense A — the arbitrary-fixed-pattern workload of the
+    reference's sparse tier (spbatch.py:29-174)."""
+    perm0 = rng.permutation(n)
+    qi = [(i, j) for i in range(n) for j in range(n) if abs(i - j) <= w]
+    Qi = np.array([(perm0[i], perm0[j]) for (i, j) in qi]).T
+    gi = []
+    for r in range(m):
+        base = rng.randint(0, n - 3)
+        for c in range(base, base + rng.randint(2, 4)):
+            gi.append((r, perm0[c]))
+    Gi = np.array(gi).T
+    Ai = np.stack(np.nonzero(np.ones((neq, n)))) if neq else \
+        np.zeros((2, 0), int)
+
+    Qv = np.zeros((B, Qi.shape[1]))
+    look = {}
+    for k, (i, j) in enumerate(zip(*Qi)):
+        if i == j:
+            Qv[:, k] = 2.0 * w + 1 + rng.rand(B)
+        elif (int(j), int(i)) in look:
+            Qv[:, k] = Qv[:, look[(int(j), int(i))]]
+        else:
+            Qv[:, k] = rng.randn(B) * 0.3
+            look[(int(i), int(j))] = k
+    Gv = rng.randn(B, Gi.shape[1])
+    Av = rng.randn(B, Ai.shape[1])
+    p = rng.randn(B, n)
+    z0 = rng.randn(B, n)
+    s0 = rng.rand(B, m) + 0.1
+    G = _densify_np(Gi, Gv, (m, n))
+    A = _densify_np(Ai, Av, (neq, n)) if neq else None
+    h = np.einsum("bmn,bn->bm", G, z0) + s0
+    b = np.einsum("ben,bn->be", A, z0) if neq else np.zeros((B, 0))
+    return Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n, m)
+
+
+def test_general_pattern_auto_dispatch(rng):
+    """A scrambled banded pattern with non-separable G auto-dispatches to
+    the general tier (RCM reorder + banded solve with pair-scattered
+    G^T D G) and matches the densified dense path: forward tightly, all
+    six value-gradients to cross-solver accuracy (two different IPMs;
+    the reference documents 1e-4-1e-5 solution agreement vs Gurobi,
+    prof-gurobi.py:120-122 — implicit gradients amplify that)."""
+    Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n, m) = _general_problem(rng)
+    f = SpQPFunction(Qi, (n, n), Gi, (m, n), Ai, (neq, n))
+    assert f.structure == "general"
+
+    args = [jnp.asarray(v) for v in (Qv, p, Gv, h, Av, b)]
+    z = f(*args)
+    Qd = _densify_np(Qi, Qv, (n, n))
+    Gd = _densify_np(Gi, Gv, (m, n))
+    A = _densify_np(Ai, Av, (neq, n))
+    z_ref = qpth_tpu.solve_qp(
+        jnp.asarray(Qd), jnp.asarray(p), jnp.asarray(Gd), jnp.asarray(h),
+        jnp.asarray(A), jnp.asarray(b))
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-5)
+
+    def loss_sp(Qv, p, Gv, h, Av, b):
+        return jnp.sum(f(Qv, p, Gv, h, Av, b) ** 2)
+
+    gs = jax.grad(loss_sp, argnums=(0, 1, 2, 3, 4, 5))(*args)
+
+    def loss_d(Q, p, G, h, A, b):
+        return jnp.sum(qpth_tpu.solve_qp(Q, p, G, h, A, b) ** 2)
+
+    gd = jax.grad(loss_d, argnums=(0, 1, 2, 3, 4, 5))(
+        *[jnp.asarray(v) for v in (Qd, p, Gd, h, A, b)])
+    gathered = (gd[0][:, Qi[0], Qi[1]], gd[1], gd[2][:, Gi[0], Gi[1]],
+                gd[3], gd[4][:, Ai[0], Ai[1]], gd[5])
+    for got, want in zip(gs, gathered):
+        scale = max(float(np.abs(np.asarray(want)).max()), 1.0)
+        npt.assert_allclose(np.asarray(got), np.asarray(want),
+                            atol=3e-3 * scale)
+
+
+def test_general_pattern_no_eq(rng):
+    """General tier without equality constraints."""
+    Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n, m) = _general_problem(
+        rng, neq=0)
+    f = SpQPFunction(Qi, (n, n), Gi, (m, n), Ai, (0, n))
+    assert f.structure == "general"
+    args = [jnp.asarray(v) for v in (Qv, p, Gv, h, Av, b)]
+    z = f(*args)
+    Qd = _densify_np(Qi, Qv, (n, n))
+    Gd = _densify_np(Gi, Gv, (m, n))
+    z_ref = qpth_tpu.solve_qp(jnp.asarray(Qd), jnp.asarray(p),
+                              jnp.asarray(Gd), jnp.asarray(h))
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-5)
+
+
+def test_general_structure_forced_raises():
+    """structure='general' rejects incompressible (dense-bandwidth)
+    patterns — those belong on the dense tier."""
+    import pytest
+
+    n = 24
+    Qi_dense = np.stack(np.nonzero(np.ones((n, n))))
+    Gi = np.stack([np.arange(n), np.arange(n)])
+    with pytest.raises(ValueError):
+        SpQPFunction(Qi_dense, (n, n), Gi, (n, n),
+                     np.zeros((2, 0), int), (0, n), structure="general")
