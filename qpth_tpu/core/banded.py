@@ -284,11 +284,20 @@ def _gen_ops(gen_g: GeneralG, g, B, n, dtype):
     return gmul, gtmul, h_assemble
 
 
+#: Newton-system IR passes for the general-G condensed solve (see
+#: solve_newton's docstring); 2 reaches the dtype floor in f64.
+_GEN_IR_PASSES = 2
+
+
 def _d_cap(dtype):
     """Cap for the slack weighting d = z/s in the general-G condensed
-    system: ~1/eps of the dtype, so G^T diag(d) G keeps a few digits of
-    headroom over the O(1) Q it is added to."""
-    return 1e10 if jnp.dtype(dtype).itemsize >= 8 else 1e5
+    system. Swept on a scrambled-band fixture (f64: 1e8..1e12, f32:
+    1e4..1e8): too low and the capped barrier's perturbation dominates,
+    too high and the H-solve error (amplified by d in the dz recovery)
+    takes over even with IR. 1e10/1e7 sit at the bottom of the bathtub:
+    f64 reaches ~1e-9 best residuals, f32 the same ~1e-4 plateau as the
+    dense path."""
+    return 1e10 if jnp.dtype(dtype).itemsize >= 8 else 1e7
 
 
 class _BandState(NamedTuple):
@@ -487,7 +496,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
             one refinement against the regularized K̃)."""
             dx, ds, dz, dy = solve_newton_base(fac, X, Mfac,
                                                rx, rs, rz, ry, d)
-            for _ in range(2):
+            for _ in range(_GEN_IR_PASSES):
                 e_dual = gtmul(dz) + flat(bt_mul(Qd, Qe, blocks(dx)))
                 if rx is not None:
                     e_dual = e_dual + rx
