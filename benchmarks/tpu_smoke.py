@@ -86,4 +86,49 @@ for (B, n, neq) in [(256, 64, 0), (256, 64, 24)]:
         print(f'diag B={B} n={n} neq={neq}: FAIL {type(e).__name__}: '
               f'{str(e)[:140]}', flush=True)
         bad += 1
+# General fixed-pattern tier (RCM + banded + pair-scattered G^T D G) on
+# hardware: scrambled band, 2-entry inequality rows, fwd + grads.
+try:
+    B, n, w = 128, 48, 2
+    perm0 = npr.permutation(n)
+    qi = [(i, j) for i in range(n) for j in range(n) if abs(i - j) <= w]
+    Qi = np.array([(perm0[i], perm0[j]) for (i, j) in qi]).T
+    gi = []
+    for r_ in range(n):
+        c = npr.randint(0, n - 1)
+        gi += [(r_, perm0[c]), (r_, perm0[c + 1])]
+    Gi = np.array(gi).T
+    Qv = np.zeros((B, Qi.shape[1]), np.float32)
+    look = {}
+    for k, (i, j) in enumerate(zip(*Qi)):
+        if i == j:
+            Qv[:, k] = 2.0 * w + 1 + npr.rand(B)
+        elif (int(j), int(i)) in look:
+            Qv[:, k] = Qv[:, look[(int(j), int(i))]]
+        else:
+            Qv[:, k] = npr.randn(B) * 0.3
+            look[(int(i), int(j))] = k
+    Gv = npr.randn(B, Gi.shape[1]).astype(np.float32)
+    p = npr.randn(B, n).astype(np.float32)
+    z0 = npr.randn(B, n)
+    Gd = np.zeros((B, n, n), np.float32)
+    np.add.at(Gd, (np.arange(B)[:, None], Gi[0][None], Gi[1][None]), Gv)
+    h = (np.einsum('bmn,bn->bm', Gd, z0)
+         + npr.rand(B, n) + 0.2).astype(np.float32)
+    f = qpth_tpu.SpQPFunction(Qi, (n, n), Gi, (n, n),
+                              np.zeros((2, 0), int), (0, n), config=cfg)
+    assert f.structure == 'general', f.structure
+    args = [jnp.asarray(v) for v in (Qv, p, Gv, h)]
+    empty = jnp.zeros((B, 0), jnp.float32)
+    z = jax.jit(lambda *a: f(*a, empty, empty))(*args)
+    gr = jax.jit(jax.grad(lambda Qv_: (f(
+        Qv_, args[1], args[2], args[3], empty, empty) ** 2).sum()))(args[0])
+    zm, gm = float(jnp.abs(z).max()), float(jnp.abs(gr).max())
+    ok = np.isfinite(zm) and np.isfinite(gm)
+    print(f'general B={B:4d} n={n:3d}: |z| {zm:9.2e} |dQv| {gm:9.2e} '
+          f'{"OK" if ok else "BAD"}', flush=True)
+    bad += not ok
+except Exception as e:
+    print(f'general: FAIL {type(e).__name__}: {str(e)[:140]}', flush=True)
+    bad += 1
 print('FAILURES:', bad)
