@@ -356,3 +356,26 @@ def test_general_structure_forced_raises():
     with pytest.raises(ValueError):
         SpQPFunction(Qi_dense, (n, n), Gi, (n, n),
                      np.zeros((2, 0), int), (0, n), structure="general")
+
+
+def test_general_newton_refinement_floor(rng):
+    """Regression for the general-G Newton-solve stall: primal
+    condensation amplifies the H-solve error by d = z/s, and without
+    per-solve iterative refinement the IPM latches at sqrt(eps)-level
+    residuals (~5e-7 in f64) with NaN-frozen lanes. With the d cap +
+    2 IR passes the f64 floor is ~1e-9."""
+    from qpth_tpu.bandqp import solve_qp_banded_full
+    from qpth_tpu.config import SolverConfig
+
+    Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n, m) = _general_problem(
+        rng, neq=0)
+    f = SpQPFunction(Qi, (n, n), Gi, (m, n), Ai, (0, n),
+                     config=SolverConfig(not_improved_lim=50))
+    perm, invp, spec = f._gen
+    _, bs, nb, n_pad = f._band
+    Qd, Qe = f._band_blocks(jnp.asarray(Qv))
+    pp = jnp.asarray(p)[:, perm]
+    sol = solve_qp_banded_full(Qd, Qe, pp, jnp.asarray(Gv),
+                               jnp.asarray(h), None, None,
+                               config=f.config, g_spec=spec)
+    assert float(np.asarray(sol.stats.best_resids).max()) < 1e-7
