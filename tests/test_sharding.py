@@ -115,6 +115,31 @@ def test_diag_path_with_sharded_inputs(rng):
     npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-9)
 
 
+def test_banded_path_with_sharded_inputs(rng):
+    """The block-Thomas banded solver composes with jit+SPMD batch
+    sharding the same way (all reductions are batch-wise)."""
+    B, nb, bs = 16, 4, 4
+    n = nb * bs
+    Ld = np.tril(rng.randn(B, nb, bs, bs) * 0.3) + np.eye(bs) * 1.5
+    Qd = np.einsum("bnij,bnkj->bnik", Ld, Ld)
+    Qe = 0.2 * rng.randn(B, nb - 1, bs, bs)
+    Qd[:, 1:] += np.einsum("bnij,bnkj->bnik", Qe, Qe)  # keep SPD-ish
+    g = np.where(np.abs(rng.randn(B, n)) < 0.3, 0.7, rng.randn(B, n))
+    z0 = rng.randn(B, n)
+    h = g * z0 + rng.rand(B, n) + 0.2
+    p = rng.randn(B, n)
+    args = [jnp.asarray(v) for v in (Qd, Qe, p, g, h)]
+
+    mesh = batch_mesh()
+    sh = batch_sharding(mesh)
+    p_sharded = jax.device_put(args[2], sh)
+    f = jax.jit(lambda p_: qpth_tpu.solve_qp_banded(
+        args[0], args[1], p_, args[3], args[4]))
+    z = f(p_sharded)
+    z_ref = qpth_tpu.solve_qp_banded(*args)
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-9)
+
+
 def test_uneven_batch_raises(rng):
     args = _args(rng, B=10)
     mesh = batch_mesh()
