@@ -735,20 +735,49 @@ def solve_kkt_banded(Qd, Qe, g, A, d, rx, config: SolverConfig,
         He = Qe
     fac = bt_factor(Hd, He, spd_inv)
 
-    rt = -rx
-    u = bt_solve(fac, rt.reshape(B, nb, bs)).reshape(B, n)
     if neq > 0:
         A_blocks = jnp.broadcast_to(A, (B, neq, n)).reshape(B, neq, nb, bs)
         AT = jnp.transpose(A_blocks, (0, 2, 3, 1))
         X = bt_solve_multi(fac, AT)
         M = jnp.einsum("bfnk,bnke->bfe", A_blocks, X, precision=_HI)
         Mfac = _factor_spd(M, _use_pallas_m(config, dtype, neq, B))
-        dy = _m_solve(Mfac, bmv(A, u))
-        dx = u - jnp.einsum("bnke,be->bnk", X, dy,
-                            precision=_HI).reshape(B, n)
     else:
-        dy = None
-        dx = u
-    ds = -gmul_gen(dx) if gen_g is not None else -g * dx[:, ci]
-    dz = -d * ds
+        X = Mfac = None
+
+    def base_solve(rxx, ryy):
+        """Condensed solve of the KKT system with RHS (-rxx, 0, 0, -ryy)."""
+        u = bt_solve(fac, (-rxx).reshape(B, nb, bs)).reshape(B, n)
+        if neq > 0:
+            rhs = bmv(A, u)
+            if ryy is not None:
+                rhs = rhs + ryy
+            dyv = _m_solve(Mfac, rhs)
+            dxv = u - jnp.einsum("bnke,be->bnk", X, dyv,
+                                 precision=_HI).reshape(B, n)
+        else:
+            dyv = None
+            dxv = u
+        dsv = -gmul_gen(dxv) if gen_g is not None else -g * dxv[:, ci]
+        dzv = -d * dsv
+        return dxv, dsv, dzv, dyv
+
+    dx, ds, dz, dy = base_solve(rx, None)
+    if gen_g is not None:
+        # Same Newton-system IR as the forward loop's general-G solves
+        # (primal condensation amplifies the H-solve error by d; the
+        # backward pass's d = clamp(lam)/clamp(s) reaches the cap too).
+        gtmul_gen = _gen_ops(gen_g, g, B, n, dtype)[1]
+        for _ in range(_GEN_IR_PASSES):
+            e_dual = (rx + gtmul_gen(dz)
+                      + bt_mul(jnp.broadcast_to(Qd, (B, nb, bs, bs)), Qe,
+                               dx.reshape(B, nb, bs)).reshape(B, n))
+            if neq > 0:
+                e_dual = e_dual + btmv(A, dy)
+                e_y = bmv(A, dx)
+            else:
+                e_y = None
+            cx, cs, cz, cy = base_solve(e_dual, e_y)
+            dx, ds, dz = dx + cx, ds + cs, dz + cz
+            if neq > 0:
+                dy = dy + cy
     return dx, ds, dz, dy
