@@ -15,6 +15,7 @@ from .qp import (DEFAULT_CONFIG, QPFunction, prefactor_qp,  # noqa: F401
                  solve_qp, solve_qp_eq, solve_qp_full)
 from .diagqp import solve_qp_diag, solve_qp_diag_full  # noqa: F401
 from .bandqp import solve_qp_banded, solve_qp_banded_full  # noqa: F401
+from .core.banded import GeneralG  # noqa: F401  (g_spec for solve_qp_banded)
 from .core.single import solve_single  # noqa: F401
 from .sparse import SpQPFunction  # noqa: F401
 

@@ -8,7 +8,7 @@ assembled sparse KKT system with a custom CUDA batched sparse QR
 TPU-native disposition (SURVEY §7 stretch; BASELINE sparse row of §2.4): TPU
 has no sparse QR; dynamic sparsity defeats XLA's static-shape compilation.
 Since the pattern is static per layer instance, we *compile the structure
-in* — on three tiers:
+in* — on four tiers:
 
 1. **Diagonal patterns** (the ones OptNet layers actually use: the sudoku
    layer's ``Q = eps*I``, ``G = -I``, reference sudoku notebook cell 10):
