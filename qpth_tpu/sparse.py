@@ -117,7 +117,12 @@ class SpQPFunction:
             g_diag = (pdipm and self.Gsz[0] == self.Gsz[1]
                       and bool((gi[0] == gi[1]).all()))
             diag_ok = g_diag and bool((qi[0] == qi[1]).all())
-            if diag_ok:
+            if self.nineq == 0 or gi.shape[1] == 0:
+                # No (or empty) inequalities: the IPM tiers need m > 0;
+                # the dense path dispatches to the closed-form equality
+                # solver (solve_qp_eq) for this case.
+                self.structure = "dense"
+            elif diag_ok:
                 self.structure = "diag"
             elif (pdipm and self._plan_separable_g(gi)
                     and self._plan_banded(qi, allow_diag=True)):

@@ -382,3 +382,26 @@ def test_general_newton_refinement_floor(rng):
                                jnp.asarray(h), None, None,
                                config=f.config, g_spec=spec)
     assert float(np.asarray(sol.stats.best_resids).max()) < 1e-7
+
+
+def test_empty_g_pattern_routes_to_eq_solver(rng):
+    """An empty inequality pattern must bypass the IPM tiers (m = 0 has
+    no barrier) and reach the dense path's closed-form equality dispatch
+    — where the reference raises (qp.py:89)."""
+    n, neq, B = 12, 3, 2
+    Qi = np.stack([np.arange(n), np.arange(n)])
+    Qv = 1.0 + rng.rand(B, n)
+    Ai = np.stack(np.nonzero(np.ones((neq, n))))
+    Av = rng.randn(B, Ai.shape[1])
+    p = rng.randn(B, n)
+    b = rng.randn(B, neq)
+    f = SpQPFunction(Qi, (n, n), np.zeros((2, 0), int), (0, n),
+                     Ai, (neq, n))
+    assert f.structure == "dense"
+    z = f(jnp.asarray(Qv), jnp.asarray(p), jnp.zeros((B, 0)),
+          jnp.zeros((B, 0)), jnp.asarray(Av), jnp.asarray(b))
+    Q = _densify_np(Qi, Qv, (n, n))
+    A = _densify_np(Ai, Av, (neq, n))
+    z_ref = qpth_tpu.solve_qp_eq(jnp.asarray(Q), jnp.asarray(p),
+                                 jnp.asarray(A), jnp.asarray(b))
+    npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-12)
