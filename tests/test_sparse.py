@@ -405,3 +405,61 @@ def test_empty_g_pattern_routes_to_eq_solver(rng):
     z_ref = qpth_tpu.solve_qp_eq(jnp.asarray(Q), jnp.asarray(p),
                                  jnp.asarray(A), jnp.asarray(b))
     npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-12)
+
+
+def test_general_pattern_property_random(rng):
+    """Property sweep: random pattern families (varying bandwidth, row
+    arity, padding remainder, empty G rows, duplicate entries) all agree
+    with the densified dense path when the general tier engages."""
+    for trial in range(5):
+        n = int(rng.randint(18, 40))
+        w = int(rng.randint(2, 5))
+        B = 2
+        perm0 = rng.permutation(n)
+        qi = [(i, j) for i in range(n) for j in range(n)
+              if abs(i - j) <= w and rng.rand() < 0.8 or i == j]
+        # ensure symmetry of the pattern
+        qset = set()
+        for (i, j) in qi:
+            qset.add((i, j))
+            qset.add((j, i))
+        Qi = np.array([(perm0[i], perm0[j]) for (i, j) in sorted(qset)]).T
+        m = int(rng.randint(4, n))
+        gi = []
+        for r in range(m):
+            if rng.rand() < 0.15:
+                continue  # empty row
+            base = int(rng.randint(0, n - 2))
+            arity = int(rng.randint(1, 4))
+            for c in range(base, min(base + arity, n)):
+                gi.append((r, perm0[c]))
+                if rng.rand() < 0.1:
+                    gi.append((r, perm0[c]))  # duplicate entry
+        Gi = np.array(gi).T
+
+        Qv = np.zeros((B, Qi.shape[1]))
+        look = {}
+        for k, (i, j) in enumerate(zip(*Qi)):
+            if i == j:
+                Qv[:, k] = 3.0 * w + 1 + rng.rand(B)
+            elif (int(j), int(i)) in look:
+                Qv[:, k] = Qv[:, look[(int(j), int(i))]]
+            else:
+                Qv[:, k] = rng.randn(B) * 0.3
+                look[(int(i), int(j))] = k
+        Gv = rng.randn(B, Gi.shape[1])
+        p = rng.randn(B, n)
+        z0 = rng.randn(B, n)
+        Gd = _densify_np(Gi, Gv, (m, n))
+        h = np.einsum("bmn,bn->bm", Gd, z0) + rng.rand(B, m) + 0.1
+        f = SpQPFunction(Qi, (n, n), Gi, (m, n),
+                         np.zeros((2, 0), int), (0, n),
+                         structure="general")
+        z = f(*map(jnp.asarray, (Qv, p, Gv, h)),
+              jnp.zeros((B, 0)), jnp.zeros((B, 0)))
+        Qd = _densify_np(Qi, Qv, (n, n))
+        z_ref = qpth_tpu.solve_qp(jnp.asarray(Qd), jnp.asarray(p),
+                                  jnp.asarray(Gd), jnp.asarray(h))
+        npt.assert_allclose(
+            np.asarray(z), np.asarray(z_ref), atol=2e-5,
+            err_msg=f"trial {trial}: n={n} w={w} m={m}")
