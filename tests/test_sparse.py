@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
+import pytest
 
 import qpth_tpu
 from qpth_tpu import SpQPFunction
@@ -407,6 +408,7 @@ def test_empty_g_pattern_routes_to_eq_solver(rng):
     npt.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_general_pattern_property_random(rng):
     """Property sweep: random pattern families (varying bandwidth, row
     arity, padding remainder, empty G rows, duplicate entries) all agree
