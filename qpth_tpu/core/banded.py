@@ -246,37 +246,97 @@ class GeneralG:
         return isinstance(other, GeneralG) and self._key == other._key
 
 
+#: Budget (in f32 elements) for materializing a static one-hot
+#: scatter-as-GEMM matrix; above it the plain XLA scatter is used.
+_ONEHOT_BUDGET = 32 * 1024 * 1024
+
+
+def _use_onehot(n_src, n_dst) -> bool:
+    """Route static scatter-adds through a one-hot GEMM on TPU: XLA
+    lowers scatter to a serialized update chain there, while a
+    (B, n_src) x (n_src, n_dst) matmul with a 0/1 matrix is one MXU op
+    reading a static constant. CPU keeps the scatter (faster, and the
+    one-hot constant is pure overhead off-TPU)."""
+    return (jax.default_backend() == "tpu"
+            and n_src * n_dst <= _ONEHOT_BUDGET)
+
+
+def _onehot(src_idx, n_src, dst_idx, n_dst, dtype):
+    """Static (n_src, n_dst) 0/1 matrix with ones at (src, dst) pairs
+    (duplicates accumulate). Built IN-GRAPH from the small index
+    constants — a materialized numpy literal would be embedded in the
+    HLO request verbatim (the axon remote-compile literal-size hazard);
+    this scatter is loop-invariant, so XLA hoists/folds it once per
+    compiled solve."""
+    return jnp.zeros((n_src, n_dst), dtype).at[
+        jnp.asarray(src_idx), jnp.asarray(dst_idx)].add(1.0)
+
+
 def _gen_ops(gen_g: GeneralG, g, B, n, dtype):
     """(gmul, gtmul, h_assemble) for a general sparse G with values g
     (B, nnz). h_assemble(Qd, Qe, d) returns (Hd, He) = the band of
-    Q + G^T diag(d) G via the precomputed pair scatters."""
+    Q + G^T diag(d) G via precomputed pair scatters (one-hot GEMMs on
+    TPU, see _use_onehot)."""
     import numpy as np
 
     gr = jnp.asarray(gen_g.rows)
     gc = jnp.asarray(gen_g.cols)
     m = gen_g.m
+    nnz = int(gen_g.rows.size)
 
     def gmul(v):
-        """G v: (B, n) -> (B, m), static scatter-add over entries."""
-        return jnp.zeros((B, m), dtype).at[:, gr].add(g * v[:, gc])
+        """G v: (B, n) -> (B, m): gather + row scatter-add."""
+        ent = g * v[:, gc]
+        if _use_onehot(nnz, m):
+            return jnp.matmul(ent, _onehot(np.arange(nnz), nnz,
+                                           gen_g.rows, m, dtype),
+                              precision=_HI)
+        return jnp.zeros((B, m), dtype).at[:, gr].add(ent)
 
     def gtmul(w):
         """G^T w: (B, m) -> (B, n)."""
-        return jnp.zeros((B, n), dtype).at[:, gc].add(g * w[:, gr])
+        ent = g * w[:, gr]
+        if _use_onehot(nnz, n):
+            return jnp.matmul(ent, _onehot(np.arange(nnz), nnz,
+                                           gen_g.cols, n, dtype),
+                              precision=_HI)
+        return jnp.zeros((B, n), dtype).at[:, gc].add(ent)
 
     hk1, hk2, hb, hr, hc = [jnp.asarray(x) for x in gen_g.hd]
     hrow = jnp.asarray(gen_g.hd_row)
+    n_hd = int(gen_g.hd.shape[1]) if gen_g.hd.size else 0
+    bs, nb = gen_g.bs, gen_g.nb
     has_qe = bool(np.asarray(gen_g.qe).size)
     if has_qe:
         qk1, qk2, qb, qr, qc = [jnp.asarray(x) for x in gen_g.qe]
         qrow = jnp.asarray(gen_g.qe_row)
+        n_qe = int(gen_g.qe.shape[1])
 
     def h_assemble(Qd, Qe, d):
         w_hd = g[:, hk1] * g[:, hk2] * d[:, hrow]
-        Hd = Qd.at[:, hb, hr, hc].add(w_hd)
+        hd_slots = nb * bs * bs
+        if _use_onehot(n_hd, hd_slots):
+            dst = (np.asarray(gen_g.hd[2]) * bs + np.asarray(gen_g.hd[3])
+                   ) * bs + np.asarray(gen_g.hd[4])
+            upd = jnp.matmul(w_hd, _onehot(np.arange(n_hd), n_hd,
+                                           dst, hd_slots, dtype),
+                             precision=_HI)
+            Hd = Qd + upd.reshape(B, nb, bs, bs)
+        else:
+            Hd = Qd.at[:, hb, hr, hc].add(w_hd)
         if has_qe:
             w_qe = g[:, qk1] * g[:, qk2] * d[:, qrow]
-            He = Qe.at[:, qb, qr, qc].add(w_qe)
+            qe_slots = max(nb - 1, 1) * bs * bs
+            if _use_onehot(n_qe, qe_slots):
+                dstq = (np.asarray(gen_g.qe[2]) * bs
+                        + np.asarray(gen_g.qe[3])) * bs \
+                    + np.asarray(gen_g.qe[4])
+                updq = jnp.matmul(w_qe, _onehot(np.arange(n_qe), n_qe,
+                                                dstq, qe_slots, dtype),
+                                  precision=_HI)
+                He = Qe + updq.reshape(B, nb - 1, bs, bs)
+            else:
+                He = Qe.at[:, qb, qr, qc].add(w_qe)
         else:
             He = Qe
         return Hd, He

@@ -465,3 +465,26 @@ def test_general_pattern_property_random(rng):
         npt.assert_allclose(
             np.asarray(z), np.asarray(z_ref), atol=2e-5,
             err_msg=f"trial {trial}: n={n} w={w} m={m}")
+
+
+def test_general_onehot_matches_scatter(rng):
+    """The TPU one-hot-GEMM lowering of the general tier's scatters is
+    bit-level-equivalent to the XLA scatter path (0/1 matmul in HIGHEST
+    precision accumulates the identical sums)."""
+    import qpth_tpu.core.banded as bnd
+
+    Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n, m) = _general_problem(
+        rng, neq=0, B=2)
+    f = SpQPFunction(Qi, (n, n), Gi, (m, n), Ai, (0, n))
+    args = [jnp.asarray(v) for v in (Qv, p, Gv, h)] + \
+        [jnp.zeros((2, 0))] * 2
+    orig = bnd._use_onehot
+    try:
+        z_scatter = np.asarray(f(*args))
+        jax.clear_caches()
+        bnd._use_onehot = lambda a, b_: True
+        z_onehot = np.asarray(f(*args))
+    finally:
+        bnd._use_onehot = orig
+        jax.clear_caches()
+    npt.assert_allclose(z_onehot, z_scatter, atol=1e-13)
