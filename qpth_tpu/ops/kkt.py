@@ -109,6 +109,13 @@ def _spd_inv(M, use_pallas_kernels: bool):
         return jnp.einsum("bki,bkj->bij", G_b, G_b,
                           preferred_element_type=M.dtype,
                           precision=jax.lax.Precision.HIGHEST)
+    if use_pallas_kernels and not interp and B >= 8:
+        # Beyond the lanes VMEM wall: blocked hybrid inverse — the XLA
+        # fallback's serialized batched Cholesky was 47% of the whole
+        # nz=512 solve (145 ms vs ~25 ms at m=512, B=512).
+        from .hybrid import spd_inv_hybrid
+
+        return spd_inv_hybrid(M)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype),
                            (M.shape[0], n, n))
     return cho_solve(cholesky(M), eye)

@@ -8,7 +8,7 @@ import pytest
 
 import qpth_tpu
 from qpth_tpu.ops.hybrid import factor_hybrid, solve_hybrid
-from qpth_tpu.ops.linalg import cho_solve_vec, cholesky
+from qpth_tpu.ops.linalg import cho_solve, cho_solve_vec, cholesky
 
 from conftest import make_feasible_qp
 
@@ -67,3 +67,19 @@ def test_solver_on_hybrid_backend_matches_xla(rng):
 
     x_ref, _, _, _ = solve_qp_batch_np(Q, p, G, h, None, None)
     npt.assert_allclose(np.asarray(z_h), x_ref, atol=5e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("m", [150, 256, 413])
+def test_spd_inv_hybrid_matches_xla(rng, m):
+    """Blocked explicit SPD inverse (the large-m prefactor path) ==
+    cho_solve against the identity."""
+    from qpth_tpu.ops.hybrid import spd_inv_hybrid
+
+    B = 2
+    X = rng.randn(B, m, m)
+    M = jnp.asarray(X @ X.transpose(0, 2, 1) + m * np.eye(m))
+    inv_h = spd_inv_hybrid(M, interpret=True)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), (B, m, m))
+    inv_ref = cho_solve(cholesky(M), eye)
+    npt.assert_allclose(np.asarray(inv_h), np.asarray(inv_ref),
+                        rtol=1e-8, atol=1e-8)
