@@ -86,6 +86,20 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _lower_block_grid(T, block):
+    """Slice batched (B, m, m) T into its lower block triangle:
+    ``S[i][k]`` = block (i, k) for k <= i. The strictly-upper half is
+    never read by the blocked factorization (panels consume block
+    column j below the diagonal; diagonal blocks are symmetric), so
+    keeping only the triangle cuts ~1/3 of the trailing-update flops
+    and writes at nb = 4."""
+    m = T.shape[-1]
+    starts = list(range(0, m, block))
+    return [[T[:, i0:i0 + min(block, m - i0), k0:k0 + min(block, m - k0)]
+             for k0 in starts[:bi + 1]]
+            for bi, i0 in enumerate(starts)]
+
+
 def factor_hybrid(T, interpret: bool = False,
                   block: int = BLOCK, dinv=None) -> HybridFactor:
     """Blocked Cholesky of batched SPD T (B, m, m).
@@ -95,25 +109,36 @@ def factor_hybrid(T, interpret: bool = False,
     iteration with T = R fixed and dinv = 1/d varying; folding the shift
     into the per-block diagonal reads saves a full read+write pass over
     the (B, m, m) matrix per iteration).
+
+    Right-looking with triangle-only trailing updates: only the lower
+    block triangle of the trailing matrix is computed (the upper half is
+    never consumed), as per-block (B, <=128, 128) GEMMs.
     """
-    B, m = T.shape[0], T.shape[-1]
+    m = T.shape[-1]
+    S = _lower_block_grid(T, block)
+    nb = len(S)
     Gs, Ps = [], []
-    S = T
-    for j0 in range(0, m, block):
-        kb = min(block, m - j0)
-        D = S[:, :kb, :kb]
+    for j in range(nb):
+        D = S[j][j]
         if dinv is not None:
+            j0 = j * block
+            kb = D.shape[-1]
             idx = jnp.arange(kb)
             D = D.at[:, idx, idx].add(dinv[:, j0:j0 + kb])
         G = _spd_factor_inv_block(D, interpret)
         Gs.append(G)
-        if j0 + kb < m:
-            # P = A_{21} G^T : the sub-diagonal panel of L.
-            P = bmm(S[:, kb:, :kb], jnp.swapaxes(G, -1, -2))
-            Ps.append(P)
-            # Trailing update on the MXU.
-            S = S[:, kb:, kb:] - jnp.einsum(
-                "bik,bjk->bij", P, P, precision=HIGHEST)
+        if j < nb - 1:
+            GT = jnp.swapaxes(G, -1, -2)
+            # P_i = S[i][j] G^T : the sub-diagonal panel rows of L.
+            prows = [bmm(S[i][j], GT) for i in range(j + 1, nb)]
+            Ps.append(jnp.concatenate(prows, axis=1)
+                      if len(prows) > 1 else prows[0])
+            for i in range(j + 1, nb):
+                Pi = prows[i - j - 1]
+                for k in range(j + 1, i + 1):
+                    S[i][k] = S[i][k] - jnp.einsum(
+                        "bik,bjk->bij", Pi, prows[k - j - 1],
+                        precision=HIGHEST)
         else:
             Ps.append(None)
     return HybridFactor(Gs, Ps, m, block)
@@ -127,9 +152,11 @@ def factor_solve_hybrid(T, v, interpret: bool = False,
     saving the separate forward sweep's full re-read of the panels.
     Returns (HybridFactor, x) with (T + diag(dinv)) x = v.
     """
-    B, m = T.shape[0], T.shape[-1]
+    m = T.shape[-1]
+    S = _lower_block_grid(T, block)
+    nb = len(S)
     Gs, Ps, ys = [], [], []
-    S, r = T, v
+    r = v
 
     def mv(M, x):
         return jnp.einsum("bij,bj->bi", M, x, precision=HIGHEST)
@@ -137,21 +164,30 @@ def factor_solve_hybrid(T, v, interpret: bool = False,
     def mtv(M, x):
         return jnp.einsum("bij,bi->bj", M, x, precision=HIGHEST)
 
-    for j0 in range(0, m, block):
-        kb = min(block, m - j0)
-        D = S[:, :kb, :kb]
+    for j in range(nb):
+        D = S[j][j]
         if dinv is not None:
+            j0 = j * block
+            kb = D.shape[-1]
             idx = jnp.arange(kb)
             D = D.at[:, idx, idx].add(dinv[:, j0:j0 + kb])
         G = _spd_factor_inv_block(D, interpret)
         Gs.append(G)
+        kb = D.shape[-1]
         y = mv(G, r[:, :kb])
         ys.append(y)
-        if j0 + kb < m:
-            P = bmm(S[:, kb:, :kb], jnp.swapaxes(G, -1, -2))
+        if j < nb - 1:
+            GT = jnp.swapaxes(G, -1, -2)
+            prows = [bmm(S[i][j], GT) for i in range(j + 1, nb)]
+            P = (jnp.concatenate(prows, axis=1)
+                 if len(prows) > 1 else prows[0])
             Ps.append(P)
-            S = S[:, kb:, kb:] - jnp.einsum(
-                "bik,bjk->bij", P, P, precision=HIGHEST)
+            for i in range(j + 1, nb):
+                Pi = prows[i - j - 1]
+                for k in range(j + 1, i + 1):
+                    S[i][k] = S[i][k] - jnp.einsum(
+                        "bik,bjk->bij", Pi, prows[k - j - 1],
+                        precision=HIGHEST)
             r = r[:, kb:] - mv(P, y)
         else:
             Ps.append(None)
