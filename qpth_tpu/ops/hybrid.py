@@ -100,6 +100,31 @@ def _lower_block_grid(T, block):
             for bi, i0 in enumerate(starts)]
 
 
+def _panel_update(S, G, j, nb):
+    """Form block column j's sub-diagonal panel (one GEMM per block row)
+    and apply the triangle-only trailing update with one GEMM per trailing
+    block ROW against a prefix of the concatenated panel — same flops as
+    per-block-pair updates but ~40% fewer, larger MXU dispatches at
+    nb = 4 (the panel concat is needed for the stored factor anyway, so
+    the prefix operands are free). Mutates S; returns the panel P."""
+    GT = jnp.swapaxes(G, -1, -2)
+    prows = [bmm(S[i][j], GT) for i in range(j + 1, nb)]
+    P = jnp.concatenate(prows, axis=1) if len(prows) > 1 else prows[0]
+    off = 0
+    for i in range(j + 1, nb):
+        Pi = prows[i - j - 1]
+        kbi = Pi.shape[1]
+        upd = jnp.einsum("bik,bjk->bij", Pi, P[:, :off + kbi],
+                         precision=HIGHEST)
+        c = 0
+        for k in range(j + 1, i + 1):
+            kbk = S[i][k].shape[-1]
+            S[i][k] = S[i][k] - upd[:, :, c:c + kbk]
+            c += kbk
+        off += kbi
+    return P
+
+
 def factor_hybrid(T, interpret: bool = False,
                   block: int = BLOCK, dinv=None) -> HybridFactor:
     """Blocked Cholesky of batched SPD T (B, m, m).
@@ -128,17 +153,7 @@ def factor_hybrid(T, interpret: bool = False,
         G = _spd_factor_inv_block(D, interpret)
         Gs.append(G)
         if j < nb - 1:
-            GT = jnp.swapaxes(G, -1, -2)
-            # P_i = S[i][j] G^T : the sub-diagonal panel rows of L.
-            prows = [bmm(S[i][j], GT) for i in range(j + 1, nb)]
-            Ps.append(jnp.concatenate(prows, axis=1)
-                      if len(prows) > 1 else prows[0])
-            for i in range(j + 1, nb):
-                Pi = prows[i - j - 1]
-                for k in range(j + 1, i + 1):
-                    S[i][k] = S[i][k] - jnp.einsum(
-                        "bik,bjk->bij", Pi, prows[k - j - 1],
-                        precision=HIGHEST)
+            Ps.append(_panel_update(S, G, j, nb))
         else:
             Ps.append(None)
     return HybridFactor(Gs, Ps, m, block)
@@ -177,17 +192,8 @@ def factor_solve_hybrid(T, v, interpret: bool = False,
         y = mv(G, r[:, :kb])
         ys.append(y)
         if j < nb - 1:
-            GT = jnp.swapaxes(G, -1, -2)
-            prows = [bmm(S[i][j], GT) for i in range(j + 1, nb)]
-            P = (jnp.concatenate(prows, axis=1)
-                 if len(prows) > 1 else prows[0])
+            P = _panel_update(S, G, j, nb)
             Ps.append(P)
-            for i in range(j + 1, nb):
-                Pi = prows[i - j - 1]
-                for k in range(j + 1, i + 1):
-                    S[i][k] = S[i][k] - jnp.einsum(
-                        "bik,bjk->bij", Pi, prows[k - j - 1],
-                        precision=HIGHEST)
             r = r[:, kb:] - mv(P, y)
         else:
             Ps.append(None)
