@@ -149,7 +149,7 @@ class SolverConfig:
     #: best, so the returned solution and reported stats are always
     #: exactly scored. 0 = no in-loop recompute at all (score at init +
     #: final exact rescore only — maximum throughput).
-    #: None = auto: 1 at float64 (bit-level reference parity), 5 below
+    #: None = auto: 1 at float64 (bit-level reference parity), 7 below
     #: (the measured throughput/accuracy Pareto point on the harsh
     #: headline workload; see PERF.md).
     #: Only the cached-product fast path tracks; other paths recompute

@@ -243,10 +243,12 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     # r_new = (1 - alpha) r, with exact recomputes at checkpoints.
     resid_every = config.resid_every
     if resid_every is None:
-        # f32 default 5: measured Pareto point on the harsh headline
-        # workload (94.4k QPs/sec at max true resid 0.40 vs 92.6k/0.44
-        # at k=4 and 77.8k/0.32 at k=1 — see PERF.md round 3).
-        resid_every = 1 if jnp.dtype(dtype).itemsize >= 8 else 5
+        # f32 default 7: measured Pareto point on the harsh headline
+        # workload (95.7k QPs/sec at max true resid 0.401 vs 94.2k/0.398
+        # at k=5, 92.6k/0.44 at k=4, 77.8k/0.32 at k=1 — the k=5 -> 7
+        # step trades one in-loop exact checkpoint for ~1.6% throughput
+        # at unchanged measured accuracy; see PERF.md round 3).
+        resid_every = 1 if jnp.dtype(dtype).itemsize >= 8 else 7
     track = fast and resid_every != 1
     if fast:
         fs = solver_factors
