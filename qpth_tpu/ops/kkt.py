@@ -220,10 +220,17 @@ def xla_backend() -> KKTBackend:
         L = factor(R, d)
         return L, cho_solve_vec(L, v)
 
+    def factor_solve_rz(R, d, q, z):
+        # (R + D^-1) x = q - R z  substitutes w = x + z into
+        # (R + D^-1) w = q + z/d: the full-matrix R z matvec (a complete
+        # HBM pass over R on top of the factor's) becomes one elementwise
+        # vector op.
+        fac, w = factor_solve(R, d, q + z / d)
+        return fac, w - z
+
     return KKTBackend(
         prepare=lambda f: f, factor=factor, solve2=cho_solve_vec,
-        factor_solve=factor_solve,
-        factor_solve_rz=lambda R, d, q, z: factor_solve(R, d, q - bmv(R, z)))
+        factor_solve=factor_solve, factor_solve_rz=factor_solve_rz)
 
 
 def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
@@ -241,10 +248,14 @@ def pallas_blocked_backend(interpret: bool | None = None) -> KKTBackend:
         Lt = factor(R, d)
         return Lt, solve2(Lt, v)
 
+    def factor_solve_rz(R, d, q, z):
+        # Same w = x + z substitution as the XLA backend: no R z matvec.
+        fac, w = factor_solve(R, d, q + z / d)
+        return fac, w - z
+
     return KKTBackend(
         prepare=transpose_factors, factor=factor, solve2=solve2,
-        factor_solve=factor_solve,
-        factor_solve_rz=lambda R, d, q, z: factor_solve(R, d, q - bmv(R, z)))
+        factor_solve=factor_solve, factor_solve_rz=factor_solve_rz)
 
 
 def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
