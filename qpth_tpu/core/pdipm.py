@@ -252,7 +252,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     track = fast and resid_every != 1
     if fast:
         fs = solver_factors
-        invQ_p = kkt_ops.bmv(fs.invQ, p)
+        invQ_p = kkt_ops.apply_invQ(fs, p)
         G_invQ_p = kkt_ops.bmv(G, invQ_p)
         A_invQ_p = kkt_ops.bmv(A, invQ_p) if neq > 0 else None
 

@@ -252,6 +252,39 @@ def solve_hybrid(fac: HybridFactor, v):
     return jnp.concatenate(xs, axis=-1)
 
 
+def solve_hybrid_mat(fac: HybridFactor, V):
+    """Multi-RHS solve (L L^T) X = V for batched matrices V (B, m, k):
+    the blocked substitution of :func:`solve_hybrid` with every per-block
+    step widened from a GEMV to a (B, <=128|k) GEMM — used to build the
+    prefactor's cached Q^-1 G^T / Q^-1 A^T products directly from the
+    blocked factor, without materializing Q^-1 (which costs an extra
+    triangular inversion + a full m^3 gram at HIGHEST precision)."""
+    m, block = fac.m, fac.block
+    nb = len(fac.Gs)
+    starts = [j * block for j in range(nb)]
+
+    ys = []
+    r = V
+    for k in range(nb):
+        kb = min(block, m - starts[k])
+        y = bmm(fac.Gs[k], r[:, :kb])
+        ys.append(y)
+        r = r[:, kb:]
+        if fac.Ps[k] is not None:
+            r = r - bmm(fac.Ps[k], y)
+
+    xs = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        r = ys[j]
+        if fac.Ps[j] is not None:
+            xt = jnp.concatenate(xs[j + 1:], axis=1)
+            r = r - jnp.einsum("bij,bik->bjk", fac.Ps[j], xt,
+                               precision=HIGHEST)
+        xs[j] = jnp.einsum("bij,bik->bjk", fac.Gs[j], r,
+                           precision=HIGHEST)
+    return jnp.concatenate(xs, axis=1)
+
+
 def spd_inv_hybrid(M, interpret: bool = False, block: int = BLOCK):
     """Explicit batched SPD inverse via the blocked factorization.
 

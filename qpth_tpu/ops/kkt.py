@@ -81,6 +81,13 @@ class KKTFactors(NamedTuple):
     GiGT: Optional[jnp.ndarray] = None
     #: S11 = A Q^-1 A^T, (b, neq, neq); None unless inverse mode, neq > 0.
     S11: Optional[jnp.ndarray] = None
+    #: Blocked Cholesky factor of Q (ops.hybrid.HybridFactor) — the
+    #: inverse-mode Q representation beyond the lanes VMEM wall, where the
+    #: cached products are built by multi-RHS blocked substitution instead
+    #: of materializing Q^-1 (saves the triangular inversion + the full
+    #: m^3 HIGHEST-precision gram). invQ is None when this is set; vector
+    #: applications go through ops.hybrid.solve_hybrid.
+    facQ: Optional[object] = None
 
 
 def _spd_inv(M, use_pallas_kernels: bool):
@@ -121,6 +128,38 @@ def _spd_inv(M, use_pallas_kernels: bool):
     return cho_solve(cholesky(M), eye)
 
 
+def _q_rep(Q, use_pallas_kernels: bool):
+    """Inverse-mode representation of Q^-1: (invQ, facQ), exactly one set.
+
+    Lanes regime (nz within the VMEM wall): explicit inverse — every
+    per-iteration application is one batched matvec. Beyond the wall
+    (the hybrid regime): the blocked Cholesky factor — the cached
+    products become multi-RHS blocked substitutions (pure GEMMs), and
+    the explicit inverse's extra triangular inversion + full nz^3
+    HIGHEST gram are never paid."""
+    B, n = Q.shape[0], Q.shape[-1]
+    import jax
+
+    from .pallas.lanes import lanes_supported
+
+    interp = jax.default_backend() != "tpu"
+    if (use_pallas_kernels and not interp and B >= 8
+            and not (lanes_supported(n, B) and B % 128 == 0)):
+        from .hybrid import factor_hybrid
+
+        return None, factor_hybrid(Q)
+    return _spd_inv(Q, use_pallas_kernels), None
+
+
+def apply_invQ(factors: KKTFactors, v):
+    """Q^-1 v for batched vectors under either inverse-mode representation."""
+    if factors.invQ is not None:
+        return bmv(factors.invQ, v)
+    from .hybrid import solve_hybrid
+
+    return solve_hybrid(factors.facQ, v)
+
+
 def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
                    use_pallas_kernels: bool = False) -> KKTFactors:
     """One-time factorizations, the Cholesky analog of batch.py:375-429.
@@ -131,9 +170,15 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
     Schur products then use plain GEMMs instead of triangular solves.
     """
     GT = jnp.swapaxes(G, -1, -2)
+    facQ = None
     if inverse:
-        invQ = _spd_inv(Q, use_pallas_kernels)
-        invQ_GT = bmm(invQ, GT)
+        invQ, facQ = _q_rep(Q, use_pallas_kernels)
+        if facQ is not None:
+            from .hybrid import solve_hybrid_mat
+
+            invQ_GT = solve_hybrid_mat(facQ, GT)
+        else:
+            invQ_GT = bmm(invQ, GT)
         L_Q = None
     else:
         invQ = None
@@ -143,12 +188,20 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
 
     if A is None:
         return KKTFactors(L_Q=L_Q, R=G_invQ_GT, L_S11=None, S21=None,
-                          W=None, invQ=invQ,
+                          W=None, invQ=invQ, facQ=facQ,
                           invQ_GT=invQ_GT if inverse else None,
                           GiGT=G_invQ_GT if inverse else None)
 
     AT = jnp.swapaxes(A, -1, -2)
-    invQ_AT = bmm(invQ, AT) if inverse else cho_solve(L_Q, AT)
+    if inverse:
+        if facQ is not None:
+            from .hybrid import solve_hybrid_mat
+
+            invQ_AT = solve_hybrid_mat(facQ, AT)
+        else:
+            invQ_AT = bmm(invQ, AT)
+    else:
+        invQ_AT = cho_solve(L_Q, AT)
     S11 = bmm(A, invQ_AT)                           # (b, neq, neq) SPD
     S21 = bmm(G, invQ_AT)                           # (b, nineq, neq)
     S21T = jnp.swapaxes(S21, -1, -2)
@@ -162,7 +215,7 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
         W = cho_solve(L_S11, S21T)                  # (b, neq, nineq)
     R = G_invQ_GT - bmm(S21, W)                     # (b, nineq, nineq)
     return KKTFactors(L_Q=L_Q, R=R, L_S11=L_S11, S21=S21, W=W,
-                      invQ=invQ, invS11=invS11,
+                      invQ=invQ, facQ=facQ, invS11=invS11,
                       invQ_GT=invQ_GT if inverse else None,
                       invQ_AT=invQ_AT if inverse else None,
                       GiGT=G_invQ_GT if inverse else None,
@@ -548,8 +601,8 @@ def _acc(*terms):
 
 
 def _q_solvers(factors: KKTFactors, solve2):
-    if factors.invQ is not None:
-        return (lambda v: bmv(factors.invQ, v),
+    if factors.invQ is not None or factors.facQ is not None:
+        return (lambda v: apply_invQ(factors, v),
                 lambda v: bmv(factors.invS11, v))
     return (lambda v: solve2(factors.L_Q, v),
             lambda v: solve2(factors.L_S11, v))

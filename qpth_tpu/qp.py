@@ -196,7 +196,7 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
         # backsub matvecs fold into the cached Q^-1 G^T / Q^-1 A^T
         # products — G and A are never read in the backward.
         fs = factors
-        iQ_dl = kkt_ops.bmv(fs.invQ, dl_dz)
+        iQ_dl = kkt_ops.apply_invQ(fs, dl_dz)
         r2 = kkt_ops.btmv(fs.invQ_GT, dl_dz)          # G Q^-1 dl
         if neq > 0:
             r1 = kkt_ops.btmv(fs.invQ_AT, dl_dz)      # A Q^-1 dl

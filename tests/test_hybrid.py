@@ -83,3 +83,62 @@ def test_spd_inv_hybrid_matches_xla(rng, m):
     inv_ref = cho_solve(cholesky(M), eye)
     npt.assert_allclose(np.asarray(inv_h), np.asarray(inv_ref),
                         rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("m,k", [(150, 70), (256, 256), (300, 13)])
+def test_solve_hybrid_mat_matches_xla(rng, m, k):
+    """Multi-RHS blocked substitution (the factored-Q prefactor route) ==
+    cho_solve with matrix RHS."""
+    from qpth_tpu.ops.hybrid import solve_hybrid_mat
+
+    B = 2
+    X = rng.randn(B, m, m)
+    T = jnp.asarray(X @ X.transpose(0, 2, 1) + m * np.eye(m))
+    V = jnp.asarray(rng.randn(B, m, k))
+    Xs = solve_hybrid_mat(factor_hybrid(T, interpret=True), V)
+    X_ref = cho_solve(cholesky(T), V)
+    npt.assert_allclose(np.asarray(Xs), np.asarray(X_ref), rtol=1e-9,
+                        atol=1e-9)
+
+
+def test_facq_prefactor_matches_explicit_inverse(rng):
+    """The factored-Q KKTFactors representation (facQ + substitution-built
+    cached products, the TPU hybrid-regime route in pre_factor_kkt/_q_rep)
+    produces the same R / invQ_GT / invQ_AT / apply_invQ results as the
+    explicit-inverse representation."""
+    from qpth_tpu.ops import kkt as kkt_ops
+    from qpth_tpu.ops.hybrid import factor_hybrid, solve_hybrid_mat
+    from qpth_tpu.ops.linalg import bmm
+
+    nz, m, neq, B = 170, 160, 12, 3
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=nz, nineq=m, neq=neq,
+                                        nbatch=B)
+    Q = jnp.asarray(np.broadcast_to(Q + 0.1 * nz * np.eye(nz),
+                                    (B, nz, nz)))
+    G, A = jnp.asarray(G), jnp.asarray(A)
+
+    ref = kkt_ops.pre_factor_kkt(Q, G, A, inverse=True,
+                                 use_pallas_kernels=False)
+    assert ref.invQ is not None and ref.facQ is None
+
+    # Build the facQ representation the way pre_factor_kkt's TPU branch
+    # does (interpret mode stands in for the hardware kernels).
+    facQ = factor_hybrid(Q, interpret=True)
+    GT = jnp.swapaxes(G, -1, -2)
+    AT = jnp.swapaxes(A, -1, -2)
+    invQ_GT = solve_hybrid_mat(facQ, GT)
+    invQ_AT = solve_hybrid_mat(facQ, AT)
+    npt.assert_allclose(np.asarray(invQ_GT), np.asarray(ref.invQ_GT),
+                        rtol=1e-8, atol=1e-8)
+    npt.assert_allclose(np.asarray(invQ_AT), np.asarray(ref.invQ_AT),
+                        rtol=1e-8, atol=1e-8)
+    GiGT = bmm(G, invQ_GT)
+    npt.assert_allclose(np.asarray(GiGT), np.asarray(ref.GiGT),
+                        rtol=1e-8, atol=1e-8)
+
+    # apply_invQ dispatch on a facQ-carrying factors pytree.
+    fac_rep = ref._replace(invQ=None, facQ=facQ)
+    v = jnp.asarray(rng.randn(B, nz))
+    npt.assert_allclose(np.asarray(kkt_ops.apply_invQ(fac_rep, v)),
+                        np.asarray(kkt_ops.apply_invQ(ref, v)),
+                        rtol=1e-8, atol=1e-8)
