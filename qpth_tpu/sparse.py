@@ -132,6 +132,7 @@ class SpQPFunction:
                 self.structure = "banded"
             elif pdipm and self._plan_general(qi, gi):
                 self.structure = "general"
+                self._general_auto = True
             else:
                 self.structure = "dense"
         elif structure == "banded":
@@ -278,6 +279,15 @@ class SpQPFunction:
         self._band = (n, bs, nb, nb * bs)
         return True
 
+    #: Auto-dispatch floor for the general tier below float64: measured
+    #: on-chip (PERF.md, scrambled-band fixture), the dense hybrid path
+    #: beats the general tier's serial block-Thomas chain 1.9x at n=256
+    #: AND holds ~3 orders better f32 residuals (the capped-d condensed
+    #: G^T D G plateau); the crossover is ~n=500 and the general tier
+    #: wins 1.9x by n=1024. f64 (where the condensation is exact to
+    #: ~1e-9) dispatches to the general tier at any size.
+    GENERAL_F32_MIN_N = 512
+
     def __call__(self, Qv, p, Gv, h, Av, b):
         """Solve; differentiable in (Qv, p, Gv, h, Av, b)."""
         if self.structure == "diag":
@@ -285,7 +295,12 @@ class SpQPFunction:
         if self.structure == "banded":
             return self._call_banded(Qv, p, Gv, h, Av, b)
         if self.structure == "general":
-            return self._call_general(Qv, p, Gv, h, Av, b)
+            if (getattr(self, "_general_auto", False)
+                    and jnp.dtype(jnp.asarray(Qv).dtype).itemsize < 8
+                    and self.Qsz[0] < self.GENERAL_F32_MIN_N):
+                pass    # auto-chosen + f32 + small n: densify below
+            else:
+                return self._call_general(Qv, p, Gv, h, Av, b)
         Q = _densify(self.Qi, Qv, self.Qsz)
         G = _densify(self.Gi, Gv, self.Gsz)
         A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None

@@ -488,3 +488,33 @@ def test_general_onehot_matches_scatter(rng):
         bnd._use_onehot = orig
         jax.clear_caches()
     npt.assert_allclose(z_onehot, z_scatter, atol=1e-13)
+
+
+def test_general_f32_small_n_densifies(rng):
+    """Auto-chosen general patterns at f32 and n < GENERAL_F32_MIN_N take
+    the dense path (measured on-chip: the dense hybrid arm is ~2x faster
+    AND ~3 orders more accurate there — PERF.md general-tier table);
+    explicitly-requested structure='general' is honored regardless, and
+    f64 dispatches to the general tier at any size."""
+    Qi, Qv, Gi, Gv, h, p, Ai, Av, b, (neq, n, m) = _general_problem(rng)
+    f = SpQPFunction(Qi, (n, n), Gi, (m, n), Ai, (neq, n))
+    assert f.structure == "general" and n < f.GENERAL_F32_MIN_N
+
+    args32 = [jnp.asarray(v, jnp.float32)
+              for v in (Qv, p, Gv, h, Av, b)]
+    z32 = f(*args32)
+    # Bit-identical to the densified dense path == the dense route ran.
+    Qd = _densify_np(Qi, Qv, (n, n)).astype(np.float32)
+    Gd = _densify_np(Gi, Gv, (m, n)).astype(np.float32)
+    A = _densify_np(Ai, Av, (neq, n)).astype(np.float32)
+    z_dense = qpth_tpu.solve_qp(
+        jnp.asarray(Qd), args32[1], jnp.asarray(Gd), args32[3],
+        jnp.asarray(A), args32[5])
+    npt.assert_array_equal(np.asarray(z32), np.asarray(z_dense))
+
+    # Forcing the tier bypasses the floor: same f32 inputs, different
+    # (general-tier) computation.
+    ff = SpQPFunction(Qi, (n, n), Gi, (m, n), Ai, (neq, n),
+                      structure="general")
+    zf = ff(*args32)
+    assert np.abs(np.asarray(zf) - np.asarray(z_dense)).max() > 0
