@@ -76,27 +76,37 @@ def main(n=512, neq=64, B=512):
     def prefactor(Q_, G_, A_, p_):
         f = kkt_ops.pre_factor_kkt(Q_ + 1e-12 * p_[:, :1, None], G_, A_,
                                    **modes)
-        return f.R[:, 0, 0].sum() + f.invQ_GT[:, 0, 0].sum()
+        # Off-TPU the resolved mode is substitution (invQ_GT is None);
+        # probe whichever representation actually exists.
+        probe = f.invQ_GT if modes["inverse"] else f.L_Q
+        return f.R[:, 0, 0].sum() + probe[:, 0, 0].sum()
 
     t_pre = timeit(lambda pv: prefactor(Q, G, A, pv), p_vars)
     print(f"pre_factor_kkt: {t_pre*1e3:9.1f} ms", flush=True)
 
+    iters = {}
     for it in (LO, HI):
-        cfg = qpth_tpu.SolverConfig(check_Q_spd=False, max_iter=it)
+        # Pin the iteration count: disable the improvement-window and eps
+        # exits so the solve runs exactly max_iter iterations (the per-lane
+        # plateau exit would otherwise bias per_it low / fixed high at HI).
+        cfg = qpth_tpu.SolverConfig(check_Q_spd=False, max_iter=it,
+                                    not_improved_lim=10**6, eps=0.0)
 
         @jax.jit
         def run(Q_, G_, h_, A_, b_, p_):
             sol = qpth_tpu.solve_qp_full(Q_, p_, G_, h_, A_, b_, config=cfg)
-            return sol.stats.best_resids
+            return sol.stats.best_resids, sol.stats.iterations
 
-        t = timeit(lambda pv: run(Q, G, h, A, beq, pv), p_vars)
-        print(f"solve max_iter={it:2d}: {t*1e3:9.1f} ms", flush=True)
+        t = timeit(lambda pv: run(Q, G, h, A, beq, pv)[0], p_vars)
+        iters[it] = int(run(Q, G, h, A, beq, p_vars[0])[1])
+        print(f"solve max_iter={it:2d}: {t*1e3:9.1f} ms "
+              f"(ran {iters[it]} iters)", flush=True)
         if it == LO:
             t_lo = t
         else:
             t_hi = t
-    per_it = (t_hi - t_lo) / (HI - LO)
-    fixed = t_lo - LO * per_it
+    per_it = (t_hi - t_lo) / (iters[HI] - iters[LO])
+    fixed = t_lo - iters[LO] * per_it
     print(f"per-iteration {per_it*1e3:.2f} ms; fixed {fixed*1e3:.1f} ms "
           f"(prefactor {t_pre*1e3:.1f} ms of that)", flush=True)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 
@@ -173,6 +173,26 @@ class SolverConfig:
     #: dense f32 plateau (see PERF.md), and full-f64 runs remain
     #: available for them on CPU.
     refine_steps: int = 0
+    #: Ruiz equilibration of the problem data (scaling.py): "auto" = on
+    #: below float64 (f32 factorizations need the conditioning help; the
+    #: power-of-two scalings add zero rounding error), off at float64
+    #: (bit-level reference parity). True/False force it. The IPM runs on
+    #: the scaled problem; the returned solution/duals/gradients are in
+    #: original coordinates. SolveStats residuals refer to the scaled
+    #: problem (the better-conditioned one the solver actually worked on).
+    equilibrate: bool | str = "auto"
+    #: Ruiz iterations (each reads Q/G/A once at prefactor time).
+    ruiz_iters: int = 4
+    #: Clamp for the refinement steps' complementarity diagonal
+    #: d = max(z, c)/max(s, c) (and the matching residual scaling
+    #: (s z)/max(s, c)). Unlike grad_clamp this does NOT change the
+    #: converged answer — the IR fixed point is set by the residuals, the
+    #: clamp only shapes the iteration operator: 1/c caps the refactored
+    #: T's condition number, so too-small c stalls f32 contraction on
+    #: problems whose R is (near-)singular (e.g. the sudoku projection
+    #: structure), while too-large c weakens active-set enforcement per
+    #: step. None = dtype-aware auto.
+    refine_clamp: float | None = None
     #: Gondzio multiple centrality correctors per iteration (beyond the
     #: reference's single Mehrotra corrector). Each one costs a single
     #: back-solve on the cached factorization and is accepted per-lane
@@ -201,6 +221,18 @@ class SolveStats(NamedTuple):
     converged: jax.Array
 
 
+class QPSolutionLow(NamedTuple):
+    """Low words of a double-word-refined solution (ops/dw.py): the exact
+    solution is (z + lo.z) etc., evaluated in float64 on the host. Produced
+    by ``refine_steps > 0`` in float32 mode, where a single f32 word cannot
+    even represent a 1e-8-accurate solution (eps_f32 ~ 1.2e-7)."""
+
+    z: jax.Array
+    nu: jax.Array
+    lam: jax.Array
+    s: jax.Array
+
+
 class QPSolution(NamedTuple):
     """Full primal-dual solution of a batch of QPs.
 
@@ -217,3 +249,5 @@ class QPSolution(NamedTuple):
     #: Slacks s = h - Gz (batch, nineq).
     s: jax.Array
     stats: SolveStats
+    #: Double-word low words (float32 refinement only); None otherwise.
+    lo: Optional[QPSolutionLow] = None

@@ -89,6 +89,110 @@ class _IPMState(NamedTuple):
     dual: jnp.ndarray             # (B,) tracked dual-residual norm
 
 
+def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
+               kkt_factor_solve, kkt_solve, config: SolverConfig):
+    """Pure-float32 mixed-precision refinement via double-word arithmetic
+    (ops/dw.py): the x64-free twin of :func:`_refine`, so accuracy mode
+    runs ON TPU with the Pallas kernels live (Mosaic cannot compile under
+    ``jax_enable_x64``; ops/kkt.py::pallas_hw_ok).
+
+    Residuals are evaluated with compensated (two-float, ~2^-48) matvecs
+    and the iterate is accumulated as a double-word pair; every
+    factorization/solve stays plain f32. Returns ``(final, lo)`` where
+    ``lo`` holds the iterate low words — a single f32 word cannot even
+    represent a 1e-8-accurate solution (eps_f32 ~ 1.2e-7), so the exact
+    refined solution is (hi + lo).
+    """
+    from ..ops import dw
+
+    def score_dw(x, s, z, y):
+        """KKT residuals of a double-word iterate; norms/mu in f32 from
+        the hi words (the dw matvec's hi word IS the true residual to
+        2^-24 relative — the cancellation happened in exact arithmetic)."""
+        rx = dw.dw_add_dw(dw.dw_mv(Q, x), dw.dw_mtv(G, z))
+        rx = dw.dw_add_f32(rx, p)
+        if neq > 0:
+            rx = dw.dw_add_dw(rx, dw.dw_mtv(A, y))
+            ry = dw.dw_add_f32(dw.dw_mv(A, x), -b)
+            pri_y = jnp.linalg.norm(ry.hi, axis=-1)
+        else:
+            ry = None
+            pri_y = jnp.zeros((B,), dtype)
+        rz = dw.dw_add_dw(dw.dw_mv(G, x), s)
+        rz = dw.dw_add_f32(rz, -h)
+        mu = jnp.abs(dw.dw_dot_last(s, z) / nineq)
+        score = (pri_y + jnp.linalg.norm(rz.hi, axis=-1)
+                 + jnp.linalg.norm(rx.hi, axis=-1) + nineq * mu)
+        return rx, rz, ry, mu, score
+
+    x = dw.from_f32(final.best_x)
+    s = dw.from_f32(final.best_s)
+    z = dw.from_f32(final.best_z)
+    y = dw.from_f32(final.best_y)
+    _, _, _, mu0, best_score = score_dw(x, s, z, y)
+    best = (x, s, z, y, best_score, mu0)
+
+    # Refinement is LINEAR iterative refinement of the KKT system at the
+    # (near-)converged point — full Newton steps toward mu = 0, NOT more
+    # interior-point iterations. Two deliberate deviations from the IPM
+    # step (both learned from measured tail-lane stalls):
+    #  * no fraction-to-boundary rule: the converged active set has slack
+    #    components at (or numerically below) zero, where ANY noise-level
+    #    negative ds freezes the whole lane's alpha at ~0 and refinement
+    #    silently no-ops (measured: p90 tails stuck ~1e-6 while the
+    #    median reached 1e-11). At the solution s_i = 0 EXACTLY for
+    #    active rows — forbidding it is wrong at this stage;
+    #  * the complementarity diagonal is clamped like the backward pass's
+    #    d = max(z, c)/max(s, c) (reference qp.py:145-148): underflowed
+    #    slack pairs (s, z ~ 1e-33 after 20 f32 Mehrotra steps) would
+    #    otherwise make d garbage. Best-score tracking keeps the entry
+    #    iterate if a lane's Newton step ever degrades it.
+    rc = config.refine_clamp
+    if rc is None:
+        rc = 1e-5  # f32 auto: caps cond(T) at ~1e5 * |R| so the f32
+        # factor still contracts on (near-)singular-R problems.
+    c = jnp.asarray(rc, dtype)
+    for _ in range(config.refine_steps):
+        rx, rz, ry, mu, _ = score_dw(x, s, z, y)
+        s_hat = jnp.maximum(s.hi, c)
+        d = jnp.maximum(z.hi, c) / s_hat
+        # Complementarity residual scaled by the CLAMPED slack: (s z)/s_hat
+        # -> z on interior rows, -> 0 on active rows (s ~ 0). Passing plain
+        # z would inject ds = -z/d_clamped ~ -grad_clamp drift into every
+        # active slack per step (measured: a 1e-8..1e-7 floor).
+        rs_eff = z.hi * (s.hi / s_hat)
+        ry_hi = ry.hi if neq > 0 else None
+        fac, dx, ds, dz, dy = kkt_factor_solve(
+            d, rx.hi, rs_eff, rz.hi, ry_hi)
+        lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
+                    | jnp.isnan(dz).any(-1))
+        if neq > 0:
+            lane_bad = lane_bad | jnp.isnan(dy).any(-1)
+        msk = lane_bad[:, None]
+        # The increments are single-precision — IR theory needs only the
+        # RESIDUAL in extended precision; the correction's own rounding
+        # (2^-24 relative to the increment, which itself shrinks
+        # geometrically) is below the converged error.
+        x = dw.dw_add_f32(x, jnp.where(msk, 0.0, dx))
+        s = dw.dw_add_f32(s, jnp.where(msk, 0.0, ds))
+        z = dw.dw_add_f32(z, jnp.where(msk, 0.0, dz))
+        if neq > 0:
+            y = dw.dw_add_f32(y, jnp.where(msk, 0.0, dy))
+        _, _, _, mu_n, score_n = score_dw(x, s, z, y)
+        take = (score_n < best[4])[:, None]
+        best = (dw.dw_where(take, x, best[0]), dw.dw_where(take, s, best[1]),
+                dw.dw_where(take, z, best[2]),
+                dw.dw_where(take, y, best[3]) if neq > 0 else best[3],
+                jnp.minimum(score_n, best[4]),
+                jnp.where(take[:, 0], mu_n, best[5]))
+
+    bx, bs, bz, by = best[0], best[1], best[2], best[3]
+    final = final._replace(best_x=bx.hi, best_s=bs.hi, best_z=bz.hi,
+                           best_y=by.hi, best_resids=best[4], mu=best[5])
+    lo = (bx.lo, bs.lo, bz.lo, by.lo)
+    return final, lo
+
+
 def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
             kkt_factor_solve, kkt_solve, config: SolverConfig):
     """Mixed-precision refinement (SolverConfig.refine_steps): extra
@@ -101,13 +205,9 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
     Newton corrections as long as cond(KKT) < 1/eps_f32, and the iterate
     is accumulated — and returned — in float64. This is SURVEY §7
     hard-part 1's mitigation; the reference instead runs f64 end-to-end
-    (reference test.py:69-96).
+    (reference test.py:69-96). Without x64 the double-word twin
+    (:func:`_refine_dw`) runs instead — pure f32, Pallas kernels live.
     """
-    if not jax.config.jax_enable_x64:
-        raise ValueError(
-            "SolverConfig.refine_steps > 0 requires jax_enable_x64 (the "
-            "refined iterate is accumulated and returned in float64; on "
-            "TPU f64 is software-emulated)")
     f64 = jnp.float64
     Q64, G64 = Q.astype(f64), G.astype(f64)
     p64, h64 = p.astype(f64), h.astype(f64)
@@ -131,48 +231,41 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
         return rx, rz, ry, mu, score
 
     x = final.best_x.astype(f64)
-    s = jnp.maximum(final.best_s.astype(f64), 1e-300)
-    z = jnp.maximum(final.best_z.astype(f64), 1e-300)
+    s = final.best_s.astype(f64)
+    z = final.best_z.astype(f64)
     y = final.best_y.astype(f64)
     _, _, _, mu0, best_score = score64(x, s, z, y)
     best = (x, s, z, y, best_score, mu0)
 
+    # Linear KKT iterative refinement: full Newton steps toward mu = 0
+    # with a clamped complementarity diagonal and NO fraction-to-boundary
+    # rule — see _refine_dw's comment for why interior-point stepping
+    # stalls the converged tail lanes here. Best-score tracking keeps the
+    # entry iterate whenever a step degrades a lane.
+    rc = config.refine_clamp
+    if rc is None:
+        rc = 1e-10  # f64 auto (wd solves are f32 when inputs are f32,
+        # but the f64 residuals keep the fixed point exact either way)
+    c = jnp.asarray(rc, f64)
     for _ in range(config.refine_steps):
         rx, rz, ry, mu, _ = score64(x, s, z, y)
-        d = z / s
-        d32 = d.astype(wd)
+        s_hat = jnp.maximum(s, c)
+        d32 = (jnp.maximum(z, c) / s_hat).astype(wd)
+        # (s z)/s_hat, not z — see _refine_dw's comment.
+        rs_eff = (z * (s / s_hat)).astype(wd)
         ry32 = ry.astype(wd) if neq > 0 else None
-        fac, dx_a, ds_a, dz_a, dy_a = kkt_factor_solve(
-            d32, rx.astype(wd), z.astype(wd), rz.astype(wd), ry32)
-        dx_a, ds_a, dz_a = (v.astype(f64) for v in (dx_a, ds_a, dz_a))
-        dy_a = dy_a.astype(f64) if neq > 0 else None
-        alpha = jnp.minimum(
-            jnp.minimum(_step_to_boundary(z, dz_a),
-                        _step_to_boundary(s, ds_a)), 1.0)[:, None]
-        t1 = ((s + alpha * ds_a) * (z + alpha * dz_a)).sum(axis=-1)
-        t2 = (s * z).sum(axis=-1)
-        sig = (t1 / t2) ** 3
-        rs_c = ((-mu * sig)[:, None] + ds_a * dz_a) / s
-        dx_c, ds_c, dz_c, dy_c = kkt_solve(
-            fac, d32, None, rs_c.astype(wd), None, None)
-        dx = dx_a + dx_c.astype(f64)
-        ds = ds_a + ds_c.astype(f64)
-        dz = dz_a + dz_c.astype(f64)
-        dy = (dy_a + dy_c.astype(f64)) if neq > 0 else None
-        alpha = jnp.minimum(
-            0.999 * jnp.minimum(_step_to_boundary(z, dz),
-                                _step_to_boundary(s, ds)), 1.0)
+        fac, dx, ds, dz, dy = kkt_factor_solve(
+            d32, rx.astype(wd), rs_eff, rz.astype(wd), ry32)
         lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
                     | jnp.isnan(dz).any(-1))
         if neq > 0:
             lane_bad = lane_bad | jnp.isnan(dy).any(-1)
         msk = lane_bad[:, None]
-        alpha = jnp.where(msk, 0.0, alpha[:, None])
-        x = x + alpha * jnp.where(msk, 0.0, dx)
-        s = s + alpha * jnp.where(msk, 0.0, ds)
-        z = z + alpha * jnp.where(msk, 0.0, dz)
+        x = x + jnp.where(msk, 0.0, dx).astype(f64)
+        s = s + jnp.where(msk, 0.0, ds).astype(f64)
+        z = z + jnp.where(msk, 0.0, dz).astype(f64)
         if neq > 0:
-            y = y + alpha * jnp.where(msk, 0.0, dy)
+            y = y + jnp.where(msk, 0.0, dy).astype(f64)
         _, _, _, mu_n, score_n = score64(x, s, z, y)
         take = (score_n < best[4])[:, None]
         best = (jnp.where(take, x, best[0]), jnp.where(take, s, best[1]),
@@ -676,9 +769,18 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             best_resids=jnp.minimum(score_f, final.best_resids),
         )
 
+    lo = None
     if config.refine_steps > 0:
-        final = _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
-                        kkt_factor_solve, kkt_solve, config)
+        # Effective x64 state (respects jax.enable_x64(False)
+        # scopes, unlike reading the global flag).
+        x64_live = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
+        if x64_live:
+            final = _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
+                            kkt_factor_solve, kkt_solve, config)
+        else:
+            final, lo = _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B,
+                                   dtype, kkt_factor_solve, kkt_solve,
+                                   config)
 
     # The reference prints INACC_ERR when the best residual exceeds 1
     # unless silenced with verbose < 0 (batch.py:141-142, 205-206) — same
@@ -703,5 +805,9 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         mu=final.mu,
         converged=final.best_resids < config.eps,
     )
+    from ..config import QPSolutionLow
+
+    lo_tuple = (QPSolutionLow(z=lo[0], nu=lo[3], lam=lo[2], s=lo[1])
+                if lo is not None else None)
     return QPSolution(z=final.best_x, nu=final.best_y, lam=final.best_z,
-                      s=final.best_s, stats=stats)
+                      s=final.best_s, stats=stats, lo=lo_tuple)

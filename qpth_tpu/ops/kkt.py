@@ -88,6 +88,18 @@ class KKTFactors(NamedTuple):
     #: m^3 HIGHEST-precision gram). invQ is None when this is set; vector
     #: applications go through ops.hybrid.solve_hybrid.
     facQ: Optional[object] = None
+    # --- Equilibration (scaling.Scaling). When set, every cached product
+    # above is of the SCALED problem Q~ = c E Q E, G~ = R_G G E,
+    # A~ = R_A A E, and Qs/Gs/As hold the scaled matrices themselves (the
+    # IPM needs them for residual matvecs). The solve/backward transform
+    # vectors in and out of scaled coordinates (see scaling.py docstring).
+    scaling: Optional[object] = None
+    #: Scaled Q, (bQ, nz, nz); None when scaling is None.
+    Qs: Optional[jnp.ndarray] = None
+    #: Scaled G, (bG, nineq, nz); None when scaling is None.
+    Gs: Optional[jnp.ndarray] = None
+    #: Scaled A, (bA, neq, nz); None when scaling is None or neq == 0.
+    As: Optional[jnp.ndarray] = None
 
 
 def _spd_inv(M, use_pallas_kernels: bool):

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import scaling as scaling_mod
 from .config import (KKTSolver, QPSolution, QPSolvers, SolverConfig,
                      SolveStats)
 from .core import pdipm
@@ -74,6 +75,22 @@ def _canonicalize(Q, p, G, h, A, b):
 # Forward paths
 # ---------------------------------------------------------------------------
 
+def _build_factors(Qb, Gb, Ab, config: SolverConfig) -> kkt_ops.KKTFactors:
+    """One-time prefactorization, optionally Ruiz-equilibrated first
+    (scaling.py). When equilibration is on, the factors — and the cached
+    scaled matrices Qs/Gs/As — are of the scaled problem, and the scaling
+    itself rides along in factors.scaling so repeated solves and the
+    backward pass transform consistently."""
+    modes = kkt_ops.resolve_prefactor_modes(config, Qb.dtype)
+    if scaling_mod.resolve_equilibrate(config, Qb.dtype):
+        sc, Qs, Gs, As = scaling_mod.ruiz_equilibrate(
+            Qb, Gb, Ab, iters=config.ruiz_iters,
+            axis_name=config.axis_name)
+        return kkt_ops.pre_factor_kkt(Qs, Gs, As, **modes)._replace(
+            scaling=sc, Qs=Qs, Gs=Gs, As=As)
+    return kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
+
+
 def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
                      init=None, factors=None):
     """Forward solve on canonically-batched params.
@@ -93,11 +110,30 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
             "solve_qp_eq directly.")
     if config.solver == QPSolvers.PDIPM_BATCHED:
         if factors is None:
-            factors = kkt_ops.pre_factor_kkt(
-                Qb, Gb, Ab,
-                **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
-        return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
-                           init=init), factors
+            factors = _build_factors(Qb, Gb, Ab, config)
+        sc = factors.scaling
+        if sc is None:
+            return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
+                               init=init), factors
+        # Equilibrated path: solve the scaled problem, return original
+        # coordinates. The power-of-two scalings make both transforms
+        # exact in floating point.
+        ps, hs, bs = scaling_mod.scale_vecs(pb, hb, bb, sc)
+        init_s = (scaling_mod.scale_point(*init, sc)
+                  if init is not None else None)
+        sol = pdipm.solve(factors.Qs, ps, factors.Gs, hs, factors.As, bs,
+                          factors, config, init=init_s)
+        z, nu, lam, s = scaling_mod.unscale_solution(
+            sol.z, sol.nu, sol.lam, sol.s, sc)
+        lo = sol.lo
+        if lo is not None:
+            # Power-of-two scalings: the low words unscale by the same
+            # (exact) elementwise multiplies as the hi words.
+            z_lo, nu_lo, lam_lo, s_lo = scaling_mod.unscale_solution(
+                lo.z, lo.nu, lo.lam, lo.s, sc)
+            lo = lo._replace(z=z_lo, nu=nu_lo, lam=lam_lo, s=s_lo)
+        sol = sol._replace(z=z, nu=nu, lam=lam, s=s, lo=lo)
+        return sol, factors
     if config.solver == QPSolvers.CPU_ORACLE:
         return _oracle_forward(Qb, pb, Gb, hb, Ab, bb), None
     raise ValueError(config.solver)
@@ -178,12 +214,20 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     dt = dl_dz.dtype
 
     if factors is None:
-        factors = kkt_ops.pre_factor_kkt(
-            Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
+        factors = _build_factors(Qb, Gb, Ab, config)
 
     # Numerical-safety clamp reproducing qp.py:145-148.
     c = config.grad_clamp
     d = jnp.maximum(lam, c) / jnp.maximum(s, c)
+
+    # Equilibrated factors solve the SCALED KKT system: transform the
+    # cotangent and the complementarity diagonal in, the directions out
+    # (mappings derived in scaling.py's module docstring).
+    sc = factors.scaling
+    if sc is not None:
+        d = d * (sc.c / (sc.RG * sc.RG))
+        dl_dz = dl_dz * (sc.c * sc.E)
+        Gb, Ab = factors.Gs, factors.As
 
     backend = kkt_ops.resolve_backend(config.use_pallas, dt,
                                       m=nineq, B=B)
@@ -218,6 +262,12 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
         dx, _, dlam, dnu = kkt_ops.backsub_kkt(
             solver_factors, dz_sol, u, d, Gb, Ab, dl_dz, None,
             solve2=backend.solve2)
+
+    if sc is not None:
+        dx = dx * sc.E
+        dlam = dlam * (sc.RG / sc.c)
+        if neq > 0:
+            dnu = dnu * (sc.RA / sc.c)
 
     # Gradient assembly (qp.py:157-177).
     dQ = 0.5 * (bger(dx, zhat) + bger(zhat, dx))
@@ -348,8 +398,7 @@ def prefactor_qp(Q, G, A=None, config: SolverConfig = DEFAULT_CONFIG):
     Qb, _ = as_batched(Q, 3)
     Gb, _ = as_batched(G, 3)
     Ab = as_batched(A, 3)[0] if A is not None else None
-    return kkt_ops.pre_factor_kkt(
-        Qb, Gb, Ab, **kkt_ops.resolve_prefactor_modes(config, Qb.dtype))
+    return _build_factors(Qb, Gb, Ab, config)
 
 
 def solve_qp_eq(Q, p, A=None, b=None):

@@ -1,0 +1,216 @@
+"""Ruiz equilibration of the QP data (problem scaling).
+
+The reference sidesteps conditioning entirely by running float64 with
+pivoted CPU LU (``/root/reference/qpth/solvers/pdipm/batch.py:450-467``
+and the f64 test contract ``/root/reference/test.py:69-96``).  A TPU-native
+float32 solver cannot: the f32 Schur-complement chain loses ~cond(KKT) * eps
+per solve, so badly row/column-scaled problems (MPC chains, mixed-unit
+models) hit 1e-1-to-NaN residuals that no amount of iterative refinement
+recovers.  The standard tool — used by every production f32/mixed-precision
+IPM (OSQP, HPIPM, Clarabel) — is *Ruiz equilibration*: symmetric diagonal
+scaling of the KKT data matrix
+
+    M = [[Q, G^T, A^T],
+         [G,  0,   0 ],
+         [A,  0,   0 ]]
+
+to unit infinity-norm rows/columns, plus a scalar cost normalization.
+
+Scaled problem (E: variable scaling, R_G / R_A: constraint row scalings,
+c: cost scaling):
+
+    Q~ = c E Q E      p~ = c E p
+    G~ = R_G G E      h~ = R_G h
+    A~ = R_A A E      b~ = R_A b
+
+Solution/dual mapping back to the original problem (derivation: substitute
+x = E x~ into the scaled KKT conditions and divide the stationarity row
+by c E):
+
+    x = E x~      lam = R_G lam~ / c      nu = R_A nu~ / c      s = s~ / R_G
+
+and the backward pass's KKT solve maps the same way: feeding the scaled
+system rx~ = c E rx returns (dx~, dlam~, dnu~) with dx = E dx~,
+dlam = R_G dlam~ / c, dnu = R_A dnu~ / c, where the scaled complementarity
+diagonal is d~ = c d / R_G^2 (since lam~/s~ = (c lam / R_G)/(R_G s)).
+
+Two TPU-motivated design choices beyond textbook Ruiz:
+
+* **Power-of-two scalings** (default): every scaling factor is rounded to
+  the nearest power of two, so applying and un-applying the scaling is
+  EXACT in floating point — equilibration adds zero rounding error of its
+  own, and the double-word refinement's low words survive unscaling by a
+  plain two-float multiply. Equilibration quality loses at most a factor
+  sqrt(2) per entry, which the iteration absorbs.
+
+* **Batch-collapsed scalings on mixed-batch inputs**: scalings are
+  per-lane only when every supplied matrix carries the same batch > 1.
+  If any matrix is shared (batch 1) the norms are max-reduced over the
+  batch and one shared scaling is used — a per-lane scaling would
+  otherwise materialize the shared matrix at full batch (B x nz x nz),
+  destroying the shared-problem prefactor-once fast path (the OptNet
+  layer pattern: shared Q/G/h, per-example p).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Scaling(NamedTuple):
+    """Diagonal equilibration of a batch of QPs (minimal batch dims)."""
+
+    #: Variable scaling, (b, nz).
+    E: jnp.ndarray
+    #: Inequality row scaling, (b, nineq).
+    RG: jnp.ndarray
+    #: Equality row scaling, (b, neq); None when neq == 0.
+    RA: Optional[jnp.ndarray]
+    #: Cost scaling, (b, 1) — broadcasts against (B, nz) vectors.
+    c: jnp.ndarray
+
+
+def _pow2(x):
+    """Round positive values to the nearest power of two (exact scaling).
+
+    ldexp with an integer exponent is exact by construction; jnp.exp2 is
+    NOT (XLA lowers it to exp(x * ln 2), which rounds — measured
+    2^4 -> 15.999999999999996 on CPU f64)."""
+    return jnp.ldexp(jnp.ones_like(x), jnp.round(jnp.log2(x)).astype(jnp.int32))
+
+
+def _safe(n):
+    """Guard zero norms (empty rows/cols scale by 1)."""
+    return jnp.where(n > 0, n, 1.0)
+
+
+def _colmax(M, b):
+    """max_i |M[i, j]| per column j, batch max-reduced to b lanes."""
+    m = jnp.abs(M).max(axis=-2)
+    if M.shape[0] > b:
+        m = m.max(axis=0, keepdims=True)
+    return m
+
+
+def _rowmax(M, b):
+    m = jnp.abs(M).max(axis=-1)
+    if M.shape[0] > b:
+        m = m.max(axis=0, keepdims=True)
+    return m
+
+
+def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
+                     axis_name=None):
+    """Compute Ruiz scalings and the scaled matrices.
+
+    Q: (bQ, nz, nz) SPD; G: (bG, nineq, nz); A: (bA, neq, nz) or None —
+    minimal batch dims as produced by qp._canonicalize.
+
+    Returns (scaling, Q_scaled, G_scaled, A_scaled); the scaled matrices
+    keep their input batch dims (see the batch-collapse rule above).
+
+    ``axis_name``: when running inside shard_map with mixed-batch inputs,
+    the batch-collapse reduction must span the GLOBAL batch (a local max
+    would give each shard different scalings for the same shared matrix);
+    collapsed norms are pmax'd over this axis.
+    """
+    dt = Q.dtype
+    bQ, nz = Q.shape[0], Q.shape[-1]
+    bG, nineq = G.shape[0], G.shape[-2]
+    bA = A.shape[0] if A is not None else None
+    batches = [bQ, bG] + ([bA] if A is not None else [])
+    bmax = max(batches)
+    # Per-lane scalings only when every matrix carries the same batch.
+    b = bmax if all(x == bmax for x in batches) else 1
+    collapsing = (b == 1 and bmax > 1)
+
+    def _gmax(v):
+        """Finish a batch-collapsed max globally under shard_map."""
+        if collapsing and axis_name is not None:
+            return jax.lax.pmax(v, axis_name)
+        return v
+
+    E = jnp.ones((b, nz), dt)
+    RG = jnp.ones((b, nineq), dt)
+    RA = jnp.ones((b, A.shape[-2]), dt) if A is not None else None
+
+    Qs, Gs, As = Q, G, A
+    for _ in range(iters):
+        # Column norms of the full KKT matrix per variable: the Q block's
+        # columns plus G's (and A's) columns.
+        cn = jnp.maximum(_colmax(Qs, b), _colmax(Gs, b))
+        if A is not None:
+            cn = jnp.maximum(cn, _colmax(As, b))
+        cn = _gmax(cn)
+        dE = 1.0 / jnp.sqrt(_safe(cn))
+        dG = 1.0 / jnp.sqrt(_safe(_gmax(_rowmax(Gs, b))))
+        dA = (1.0 / jnp.sqrt(_safe(_gmax(_rowmax(As, b))))
+              if A is not None else None)
+        if pow2:
+            dE, dG = _pow2(dE), _pow2(dG)
+            dA = _pow2(dA) if dA is not None else None
+        E, RG = E * dE, RG * dG
+        RA = RA * dA if A is not None else None
+        Qs = Qs * (dE[..., :, None] * dE[..., None, :])
+        Gs = Gs * (dG[..., :, None] * dE[..., None, :])
+        if A is not None:
+            As = As * (dA[..., :, None] * dE[..., None, :])
+
+    # Cost normalization from Q alone (using p would make the scaling
+    # per-solve and per-lane, materializing shared matrices — see module
+    # docstring). Mean scaled-column norm of Q, as in OSQP's rho rule.
+    qn = _gmax(_colmax(Qs, b)).mean(axis=-1, keepdims=True)
+    c = 1.0 / _safe(qn)
+    if pow2:
+        c = _pow2(c)
+    Qs = Qs * c[..., None]
+    scaling = Scaling(E=E, RG=RG, RA=RA, c=c)
+    return scaling, Qs, Gs, As
+
+
+def scale_vecs(p, h, b, s: Scaling):
+    """Scale the per-solve vectors (B, .) into equilibrated coordinates."""
+    ps = p * (s.c * s.E)
+    hs = h * s.RG
+    bs = b * s.RA if b is not None else None
+    return ps, hs, bs
+
+
+def unscale_z(z, s: Scaling):
+    return z * s.E
+
+
+def unscale_solution(z, nu, lam, slacks, s: Scaling):
+    """Map a scaled-problem primal-dual point back to original coordinates."""
+    z = z * s.E
+    lam = lam * (s.RG / s.c)
+    slacks = slacks / s.RG
+    if nu is not None and nu.shape[-1] > 0 and s.RA is not None:
+        nu = nu * (s.RA / s.c)
+    return z, nu, lam, slacks
+
+
+def scale_point(x, slacks, z, y, s: Scaling):
+    """Map an original-coordinates point (e.g. a warm start) into scaled
+    coordinates: the inverse of unscale_solution."""
+    x = x / s.E
+    z = z * (s.c / s.RG)
+    slacks = slacks * s.RG
+    if y is not None and y.shape[-1] > 0 and s.RA is not None:
+        y = y * (s.c / s.RA)
+    return x, slacks, z, y
+
+
+def resolve_equilibrate(config, dtype) -> bool:
+    """SolverConfig.equilibrate policy: "auto" = on below float64 (where
+    the f32 factorizations need the conditioning help), off at float64
+    (bit-level reference parity)."""
+    eq = config.equilibrate
+    if eq == "auto":
+        import numpy as np
+
+        return np.dtype(dtype).itemsize < 8
+    return bool(eq)

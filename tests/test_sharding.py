@@ -147,3 +147,47 @@ def test_uneven_batch_raises(rng):
         pytest.skip("batch happens to divide mesh")
     with pytest.raises(ValueError, match="not divisible"):
         solve_qp_sharded(*args, mesh=mesh)
+
+def test_collective_count_and_shapes(rng):
+    """Pin the sharded solver's ENTIRE cross-device traffic in compiled
+    HLO: the termination reductions only — scalar all-reduces (the window
+    predicate, max best-residual, min mu, + the post-loop INACC check),
+    and nothing tensor-shaped. This is the durable form of the
+    weak-scaling argument (BASELINE.md >= 90% gate needs chips; the
+    collective count is hardware-independent): per-lane IPM compute scales
+    embarrassingly, and the only traffic is O(1) scalars per iteration
+    (replacing the reference's host-synced reductions, batch.py:127,140).
+    """
+    import re
+
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=6, neq=2)
+    p = rng.randn(16, 8)
+    mesh = batch_mesh()
+    for dt in (jnp.float64, jnp.float32):
+        args = [jnp.asarray(v, dt) for v in (Q, p, G, h, A, b)]
+        txt = (jax.jit(lambda *a: solve_qp_sharded(*a, mesh=mesh))
+               .lower(*args).compile().as_text())
+        reduces = re.findall(r"= (\S+) all-reduce(?:-start)?\(", txt)
+        assert 1 <= len(reduces) <= 5, reduces
+        for shape in reduces:
+            assert shape in ("f32[]", "f64[]", "pred[]", "u32[]",
+                             "s32[]"), (shape, reduces)
+        # No other collective families appear at all.
+        for op in ("all-gather", "all-to-all", "collective-permute",
+                   "reduce-scatter"):
+            assert f" {op}(" not in txt, op
+
+
+def test_sharded_mixed_batch_f32_equilibration(rng):
+    """Mixed-batch inputs (shared Q, batched G) under shard_map: the
+    batch-collapsed Ruiz scalings must be computed over the GLOBAL batch
+    (pmax over the mesh axis), so the sharded f32 solve matches the
+    single-device one exactly."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=6, neq=0,
+                                        nbatch=16)
+    args32 = [jnp.asarray(v, jnp.float32) if v is not None else None
+              for v in (Q, p, G, h, A, b)]
+    z_single = qpth_tpu.solve_qp(*args32)
+    z_sharded = solve_qp_sharded(*args32, mesh=batch_mesh())
+    npt.assert_allclose(np.asarray(z_sharded), np.asarray(z_single),
+                        atol=1e-6, rtol=1e-5)
