@@ -120,7 +120,23 @@ def polish_np(Q, p, G, h, A, b, x, lam, nu, steps=3, c=1e-10):
     return x
 
 
-def oracle_batch(Q, p, G, h, A, b):
+def oracle_batch(Q, p, G, h, A, b, cache_key=None):
+    """f64 oracle solutions, disk-cached (the nz=500 oracle costs ~15 min
+    per run; sweeps over solver settings reuse it)."""
+    if cache_key is not None:
+        cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".parity_cache")
+        os.makedirs(cdir, exist_ok=True)
+        cfile = os.path.join(cdir, cache_key + ".npy")
+        if os.path.exists(cfile):
+            return np.load(cfile)
+    out = _oracle_batch_impl(Q, p, G, h, A, b)
+    if cache_key is not None:
+        np.save(cfile, out)
+    return out
+
+
+def _oracle_batch_impl(Q, p, G, h, A, b):
     from qpth_tpu import native
     from qpth_tpu.solvers.oracle import solve_qp_batch_np
 
@@ -177,7 +193,9 @@ def main():
         f32 = lambda v: None if v is None else jnp.asarray(v, jnp.float32)
         jargs = [f32(v) for v in (Q, p, G, h, A, b)]
         t0 = time.time()
-        zo = oracle_batch(Q, p, G, h, A, b)
+        key = f"{name.replace(' ', '_').replace('=', '')}" \
+              f"_B{args.batch}_s{args.seed}"
+        zo = oracle_batch(Q, p, G, h, A, b, cache_key=key)
         t_oracle = time.time() - t0
         base = qpth_tpu.solve_qp_full(*jargs, config=cfg0)
         sol = qpth_tpu.solve_qp_full(*jargs, config=cfg)

@@ -730,6 +730,56 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
 
     final = lax.while_loop(cond_fn, body_fn, state)
 
+    if config.refine_steps > 0:
+        # Post-loop linear KKT iterative refinement (same scheme as the
+        # dense tier's _refine_dw, single-word residuals): full Newton
+        # steps toward mu = 0 with the complementarity diagonal clamped
+        # LOW — the IR fixed point is set by the residuals, not by the
+        # clamped d, so the refine solves can run at a condition number
+        # (~1/refine_clamp) the in-loop barrier path could never cap to
+        # (the in-loop d-cap sweep bottoms at 1e7 because capping the
+        # BARRIER perturbs the IPM trajectory; a post-loop IR has no
+        # trajectory to perturb). This is what breaks the general tier's
+        # f32 1e-2..1e-1 plateau (PERF.md round-3 table).
+        rc = config.refine_clamp
+        if rc is None:
+            rc = 1e-10 if jnp.dtype(dtype).itemsize >= 8 else 1e-5
+        rc = jnp.asarray(rc, dtype)
+        bx, bs_v, bz, by = (final.best_x, final.best_s, final.best_z,
+                            final.best_y)
+        _, _, _, bmu, bscore = residuals(bx, bs_v, bz, by)
+        x, s, z, y = bx, bs_v, bz, by
+        best = (bx, bs_v, bz, by, bscore, bmu)
+        for _ in range(config.refine_steps):
+            rx, rz, ry, mu, _ = residuals(x, s, z, y)
+            s_hat = jnp.maximum(s, rc)
+            d_r = jnp.maximum(z, rc) / s_hat
+            rs_eff = z * (s / s_hat)
+            fac_r, X_r, Mfac_r = factor_all(d_r)
+            dx, ds, dz, dy = solve_newton(fac_r, X_r, Mfac_r,
+                                          rx, rs_eff, rz, ry, d_r)
+            lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
+                        | jnp.isnan(dz).any(-1))
+            if neq > 0:
+                lane_bad = lane_bad | jnp.isnan(dy).any(-1)
+            msk = lane_bad[:, None]
+            x = x + jnp.where(msk, 0.0, dx)
+            s = s + jnp.where(msk, 0.0, ds)
+            z = z + jnp.where(msk, 0.0, dz)
+            if neq > 0:
+                y = y + jnp.where(msk, 0.0, dy)
+            _, _, _, mu_n, score_n = residuals(x, s, z, y)
+            take = (score_n < best[4])[:, None]
+            best = (jnp.where(take, x, best[0]),
+                    jnp.where(take, s, best[1]),
+                    jnp.where(take, z, best[2]),
+                    jnp.where(take, y, best[3]) if neq > 0 else best[3],
+                    jnp.minimum(score_n, best[4]),
+                    jnp.where(take[:, 0], mu_n, best[5]))
+        final = final._replace(best_x=best[0], best_s=best[1],
+                               best_z=best[2], best_y=best[3],
+                               best_resids=best[4], mu=best[5])
+
     if config.verbose >= 0 and _runtime_supports_callbacks():
         max_best = _greduce(final.best_resids.max(), "max", axis)
         lax.cond(

@@ -87,6 +87,7 @@ class _IPMState(NamedTuple):
     done: jnp.ndarray             # scalar bool
     pri: jnp.ndarray              # (B,) tracked primal-residual norm
     dual: jnp.ndarray             # (B,) tracked dual-residual norm
+    reg: jnp.ndarray              # (B,) adaptive per-lane T-shift (0 = off)
 
 
 def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
@@ -496,6 +497,25 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         z = jnp.maximum(z, config.warm_start_min)
     y = y if y is not None else jnp.zeros((B, 0), dtype)
 
+    # Fail-soft init: a lane whose INIT solve NaN'd (f32 Schur chain
+    # collapse before the loop even starts — best_resids would stay inf
+    # and the lane would return garbage) restarts from the neutral
+    # interior point (0, 1, 1, 0) with adaptive regularization pre-armed;
+    # the loop then makes what progress the arithmetic allows instead of
+    # returning NaNs. (The reference aborts the whole batch here,
+    # batch.py:110-113.)
+    bad0 = jnp.isnan(x).any(-1) | jnp.isnan(s).any(-1) | jnp.isnan(z).any(-1)
+    if neq > 0:
+        bad0 = bad0 | jnp.isnan(y).any(-1)
+    b0 = bad0[:, None]
+    x = jnp.where(b0, 0.0, x)
+    s = jnp.where(b0, 1.0, s)
+    z = jnp.where(b0, 1.0, z)
+    if neq > 0:
+        y = jnp.where(b0, 0.0, y)
+    reg0 = jnp.where(bad0, jnp.asarray(config.ir_eps, dtype),
+                     jnp.zeros((B,), dtype))
+
     inf = jnp.asarray(jnp.inf, dtype)
     state = _IPMState(
         x=x, s=s, z=z, y=y,
@@ -509,6 +529,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         done=jnp.zeros((), bool),
         pri=jnp.zeros((B,), dtype),
         dual=jnp.zeros((B,), dtype),
+        reg=reg0,
     )
 
     def exact_pri_dual(x, s, z, y):
@@ -623,16 +644,28 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         )
 
         def do_step(args):
-            """One predictor-corrector step; returns the updated state and
-            the applied per-lane damped step length (0 on frozen lanes)."""
-            x, s, z, y = args
+            """One predictor-corrector step; returns the updated state,
+            the applied per-lane damped step length (0 on frozen lanes),
+            and the per-lane adaptive regularization for the NEXT
+            iteration."""
+            x, s, z, y, reg = args
             if use_fused:
                 x, s, z, a_l = fused_do_step(x, s, z)
-                return x, s, z, y, a_l
+                return x, s, z, y, a_l, reg
             if use_fused_eq:
                 x, s, z, y, a_l = fused_do_step_eq(x, s, z, y)
-                return x, s, z, y, a_l
+                return x, s, z, y, a_l, reg
             d = z / s
+            # Adaptive per-lane regularization (the reference's answer is
+            # a globally eps-shifted refactor, factor_solve_kkt_reg at
+            # batch.py:273-310; here it is per-lane and only where a
+            # factorization already failed): a lane whose last direction
+            # was NaN re-factors T + reg*I, implemented as the exact
+            # elementwise transform d' = d/(1 + reg*d) (T = R + diag(1/d),
+            # so 1/d' = 1/d + reg) — no backend/kernel changes, works for
+            # the lanes/hybrid/XLA paths alike. Healthy lanes (reg = 0)
+            # are bit-identical to the unregularized step.
+            d = d / (1.0 + reg[:, None] * d)
             # Predictor: affine direction with RHS (rx, z, rz, ry)
             # (batch.py:98 sets rs := z); factor fused with this solve,
             # then shared by the corrector.
@@ -723,12 +756,18 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             z = z + alpha * jnp.where(mask, 0.0, dz)
             if neq > 0:
                 y = y + alpha * jnp.where(mask, 0.0, dy)
-            return x, s, z, y, alpha[:, 0]
+            # Escalate failed lanes: start at ir_eps (the reference's
+            # regularization scale, batch.py:248) and grow 8x per repeat
+            # failure; healthy lanes keep their current shift (no decay —
+            # a lane that needed it once is conditioning-limited).
+            reg = jnp.where(lane_bad,
+                            jnp.maximum(reg * 8.0, config.ir_eps), reg)
+            return x, s, z, y, alpha[:, 0], reg
 
-        x, s, z, y, alpha_l = lax.cond(
+        x, s, z, y, alpha_l, reg = lax.cond(
             done,
-            lambda a: a + (jnp.zeros((B,), dtype),),
-            do_step, (x, s, z, y))
+            lambda a: a[:4] + (jnp.zeros((B,), dtype), a[4]),
+            do_step, (x, s, z, y, st.reg))
 
         if track:
             # The combined direction solves the Newton system exactly, so
@@ -743,7 +782,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             best_resids=best_resids, mu=mu,
             n_not_improved=n_not, lane_done=lane_done,
             it=st.it + 1, done=done,
-            pri=pri, dual=dual,
+            pri=pri, dual=dual, reg=reg,
         )
 
     final = lax.while_loop(cond_fn, body_fn, state)

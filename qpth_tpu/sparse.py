@@ -279,13 +279,16 @@ class SpQPFunction:
         self._band = (n, bs, nb, nb * bs)
         return True
 
-    #: Auto-dispatch floor for the general tier below float64: measured
-    #: on-chip (PERF.md, scrambled-band fixture), the dense hybrid path
-    #: beats the general tier's serial block-Thomas chain 1.9x at n=256
-    #: AND holds ~3 orders better f32 residuals (the capped-d condensed
-    #: G^T D G plateau); the crossover is ~n=500 and the general tier
-    #: wins 1.9x by n=1024. f64 (where the condensation is exact to
-    #: ~1e-9) dispatches to the general tier at any size.
+    #: Auto-dispatch floor for the general tier below float64 — a pure
+    #: SPEED crossover: measured on-chip (PERF.md, scrambled-band
+    #: fixture) the dense hybrid path beats the general tier's serial
+    #: block-Thomas chain ~1.9x at n=256, they cross ~n=500, and the
+    #: general tier wins 1.9x by n=1024 (widening with n). The round-3
+    #: f32 ACCURACY plateau that also motivated this floor (capped-d
+    #: G^T D G, 1e-2..1e-1 residuals) is fixed by post-loop Newton-IR
+    #: (``SolverConfig.refine_steps``; PERF.md round 4) — both tiers now
+    #: reach the same refined accuracy, so only throughput decides.
+    #: Explicit ``structure="general"`` is always honored at any size.
     GENERAL_F32_MIN_N = 512
 
     def __call__(self, Qv, p, Gv, h, Av, b):

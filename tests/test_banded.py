@@ -242,3 +242,95 @@ def test_banded_separable_box_constraints(rng, neq):
     npt.assert_allclose(np.asarray(gb[1]), dg_dense, rtol=1e-4, atol=1e-6)
     npt.assert_allclose(np.asarray(gb[2]), np.asarray(gd[2]),
                         rtol=1e-4, atol=1e-6)    # dh
+
+
+def test_banded_refine_separable(rng):
+    """Post-loop Newton-IR (refine_steps) on the separable banded tier:
+    f32 residual score drops well below the IPM's plateau."""
+    import jax.numpy as jnp
+
+    from qpth_tpu import SolverConfig
+    from qpth_tpu.bandqp import solve_qp_banded_full
+
+    B, nb, bs = 8, 4, 4
+    n = nb * bs
+    Ld = np.tril(rng.randn(B, nb, bs, bs) * 0.3) + np.eye(bs) * 1.5
+    Qd = np.einsum("bnij,bnkj->bnik", Ld, Ld)
+    Qe = 0.2 * rng.randn(B, nb - 1, bs, bs)
+    Qd[:, 1:] += np.einsum("bnij,bnkj->bnik", Qe, Qe)
+    g = np.where(np.abs(rng.randn(B, n)) < 0.3, 0.7, rng.randn(B, n))
+    z0 = rng.randn(B, n)
+    h = g * z0 + rng.rand(B, n) + 0.2
+    p = rng.randn(B, n)
+    a32 = [jnp.asarray(v, jnp.float32) for v in (Qd, Qe, p, g, h)]
+
+    base = solve_qp_banded_full(
+        *a32, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    ref = solve_qp_banded_full(
+        *a32, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                  refine_steps=3))
+    rb = float(base.stats.best_resids.max())
+    rr = float(ref.stats.best_resids.max())
+    assert rr <= rb
+    assert rr < 1e-4, (rb, rr)
+
+
+def test_general_tier_refine_breaks_f32_plateau(rng):
+    """The round-3 weak spot (VERDICT #2): the general (multi-entry-row)
+    condensation's f32 residuals plateaued at 1e-2..1e-1. Post-loop
+    Newton-IR must push the scrambled-band fixture's score below 1e-4 —
+    parity with the separable tier."""
+    import sys
+
+    import jax.numpy as jnp
+
+    from qpth_tpu import SolverConfig, SpQPFunction
+    from qpth_tpu.bandqp import solve_qp_banded_full
+
+    B, n, w = 16, 128, 8
+    perm0 = rng.permutation(n)
+    qi = [(i, j) for i in range(n) for j in range(n) if abs(i - j) <= w]
+    Qi = np.array([(perm0[i], perm0[j]) for (i, j) in qi]).T
+    gi = []
+    for r in range(n):
+        c = rng.randint(0, n - 1)
+        gi.append((r, perm0[c]))
+        gi.append((r, perm0[c + 1]))
+    Gi = np.array(gi).T
+    Qv = np.zeros((B, Qi.shape[1]), np.float32)
+    look = {}
+    for k, (i, j) in enumerate(zip(*Qi)):
+        if i == j:
+            Qv[:, k] = 2.0 * w + 1 + rng.rand(B)
+        elif (int(j), int(i)) in look:
+            Qv[:, k] = Qv[:, look[(int(j), int(i))]]
+        else:
+            Qv[:, k] = rng.randn(B) * 0.3
+            look[(int(i), int(j))] = k
+    Gv = rng.randn(B, Gi.shape[1]).astype(np.float32)
+    p = rng.randn(B, n).astype(np.float32)
+    G = np.zeros((B, n, n), np.float32)
+    np.add.at(G, (np.arange(B)[:, None], Gi[0][None, :], Gi[1][None, :]),
+              Gv)
+    z0 = rng.randn(B, n)
+    h = (np.einsum("bmn,bn->bm", G, z0) + rng.rand(B, n)
+         + 0.2).astype(np.float32)
+
+    scores = {}
+    for steps in (0, 3):
+        cfg = SolverConfig(check_Q_spd=False, verbose=-1,
+                           refine_steps=steps)
+        f = SpQPFunction(Qi, (n, n), Gi, (n, n), np.zeros((2, 0), int),
+                         (0, n), config=cfg, structure="general")
+        n_, bs, nb, n_pad = f._band
+        perm, invp, specg = f._gen
+        Qd, Qe = f._band_blocks(jnp.asarray(Qv))
+        pq = jnp.asarray(p)[:, jnp.asarray(perm)]
+        if n_pad > n_:
+            pq = jnp.pad(pq, ((0, 0), (0, n_pad - n_)))
+        sol = solve_qp_banded_full(Qd, Qe, pq, jnp.asarray(Gv),
+                                   jnp.asarray(h), None, None,
+                                   config=cfg, g_spec=specg)
+        scores[steps] = float(sol.stats.best_resids.max())
+    assert scores[3] < 1e-4, scores
+    assert scores[3] < scores[0] / 10, scores
