@@ -78,3 +78,49 @@ def prefactor_qp_tp(Q, G, A=None, *, mesh: Mesh,
     args = (Qb, Gb) + ((Ab,) if Ab is not None else (None,))
     with mesh:
         return jax.jit(build)(*args)
+
+
+def factor_solve_hybrid_tp(T, v, *, mesh: Mesh, dinv=None,
+                           model_axis: str = "model",
+                           batch_axis: str | None = None):
+    """Tensor-parallel per-iteration factorization: the blocked (hybrid)
+    Cholesky of ``T (+ diag(dinv))`` with the matrix ROW dimension sharded
+    over ``model_axis``, fused with the first solve.
+
+    This extends the TP story past the prefactor (round-3's gap: the
+    iteration-varying (m, m) T-factor stayed single-device, so one huge QP
+    had no multi-chip path). The blocked right-looking algorithm
+    (ops/hybrid.py) partitions naturally under a row sharding: each
+    device owns a contiguous band of block rows; the panel GEMMs and
+    triangle-only trailing updates stay device-local per block row, and
+    GSPMD inserts the broadcast of each step's diagonal-block inverse and
+    the panel all-gathers over ICI. Per-device memory and trailing-update
+    FLOPs drop by the model-axis size (measured table in PERF.md).
+
+    Returns ``(HybridFactor, x)`` with ``(T + diag(dinv)) x = v``; the
+    factor's arrays keep their computed shardings, so subsequent
+    :func:`qpth_tpu.ops.hybrid.solve_hybrid` calls under the mesh reuse
+    the distributed layout.
+
+    The m/model-axis split must align to the 128-block grid (m divisible
+    by 128 * mesh.shape[model_axis]) so block rows never straddle
+    devices.
+    """
+    from ..ops.hybrid import BLOCK, factor_solve_hybrid
+
+    m = T.shape[-1]
+    n_model = mesh.shape[model_axis]
+    if m % (BLOCK * n_model) != 0:
+        raise ValueError(
+            f"m={m} must be divisible by {BLOCK} * n_model({n_model}) so "
+            f"block rows align with shards")
+    t_s = _nshard(mesh, batch_axis, model_axis, None)
+
+    csc = jax.lax.with_sharding_constraint
+
+    def run(T_, v_, dinv_):
+        T_ = csc(T_, t_s)
+        return factor_solve_hybrid(T_, v_, dinv=dinv_)
+
+    with mesh:
+        return jax.jit(run)(T, v, dinv)

@@ -73,7 +73,8 @@ def test_tracked_stats_are_exactly_scored(rng):
                         rtol=1e-8, atol=1e-12)
 
 
-@pytest.mark.parametrize("neq", [0, 3])
+@pytest.mark.parametrize(
+    "neq", [0, pytest.param(3, marks=pytest.mark.slow)])
 def test_tracked_fused_interpret(rng, neq):
     """The fused Pallas step's alpha output feeds the tracking; f32
     interpret mode, tracked vs exact solutions agree to f32 tolerance."""

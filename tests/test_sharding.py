@@ -85,8 +85,9 @@ def test_sharded_f32_per_lane_termination(rng):
     args = _args(rng)
     args32 = [jnp.asarray(v, jnp.float32) if v is not None else None
               for v in args]
-    z_single = qpth_tpu.solve_qp(*args32)
-    z_sharded = solve_qp_sharded(*args32, mesh=batch_mesh())
+    cfg = qpth_tpu.SolverConfig(max_iter=8)  # equivalence, not convergence
+    z_single = qpth_tpu.solve_qp(*args32, config=cfg)
+    z_sharded = solve_qp_sharded(*args32, mesh=batch_mesh(), config=cfg)
     npt.assert_allclose(np.asarray(z_sharded), np.asarray(z_single),
                         atol=1e-6, rtol=1e-5)
 
@@ -187,7 +188,8 @@ def test_sharded_mixed_batch_f32_equilibration(rng):
                                         nbatch=16)
     args32 = [jnp.asarray(v, jnp.float32) if v is not None else None
               for v in (Q, p, G, h, A, b)]
-    z_single = qpth_tpu.solve_qp(*args32)
-    z_sharded = solve_qp_sharded(*args32, mesh=batch_mesh())
+    cfg = qpth_tpu.SolverConfig(max_iter=8)  # equivalence, not convergence
+    z_single = qpth_tpu.solve_qp(*args32, config=cfg)
+    z_sharded = solve_qp_sharded(*args32, mesh=batch_mesh(), config=cfg)
     npt.assert_allclose(np.asarray(z_sharded), np.asarray(z_single),
                         atol=1e-6, rtol=1e-5)

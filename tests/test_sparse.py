@@ -467,6 +467,7 @@ def test_general_pattern_property_random(rng):
             err_msg=f"trial {trial}: n={n} w={w} m={m}")
 
 
+@pytest.mark.slow
 def test_general_onehot_matches_scatter(rng):
     """The TPU one-hot-GEMM lowering of the general tier's scatters is
     bit-level-equivalent to the XLA scatter path (0/1 matmul in HIGHEST
@@ -490,6 +491,7 @@ def test_general_onehot_matches_scatter(rng):
     npt.assert_allclose(z_onehot, z_scatter, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_general_f32_small_n_densifies(rng):
     """Auto-chosen general patterns at f32 and n < GENERAL_F32_MIN_N take
     the dense path (measured on-chip: the dense hybrid arm is ~2x faster

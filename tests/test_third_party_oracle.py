@@ -64,6 +64,7 @@ def test_three_way_agreement(rng, neq):
                                    atol=1e-8, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_refined_f32_beats_scipy_tolerance(rng):
     """The dw-refined f32 solve agrees with scipy at scipy's own
     convergence level — the accuracy story holds against a third party,
