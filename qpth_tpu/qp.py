@@ -132,7 +132,21 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
             z_lo, nu_lo, lam_lo, s_lo = scaling_mod.unscale_solution(
                 lo.z, lo.nu, lo.lam, lo.s, sc)
             lo = lo._replace(z=z_lo, nu=nu_lo, lam=lam_lo, s=s_lo)
-        sol = sol._replace(z=z, nu=nu, lam=lam, s=s, lo=lo)
+        # Honest stats: rescore the returned point in ORIGINAL
+        # coordinates (three matvecs, ~1% of a headline solve) so
+        # best_resids/mu/converged mean the same thing with and without
+        # equilibration — the in-loop scores are of the scaled problem.
+        nineq = Gb.shape[-2]
+        y_arg = nu if (Ab is not None and nu.shape[-1] > 0) else None
+        rx_o, rz_o, ry_o, mu_o = kkt_ops.kkt_residuals(
+            Qb, pb, Gb, hb, Ab, bb, z, s, lam, y_arg)
+        score_o = (jnp.linalg.norm(rz_o, axis=-1)
+                   + jnp.linalg.norm(rx_o, axis=-1) + nineq * mu_o)
+        if ry_o is not None:
+            score_o = score_o + jnp.linalg.norm(ry_o, axis=-1)
+        stats = sol.stats._replace(best_resids=score_o, mu=mu_o,
+                                   converged=score_o < config.eps)
+        sol = sol._replace(z=z, nu=nu, lam=lam, s=s, lo=lo, stats=stats)
         return sol, factors
     if config.solver == QPSolvers.CPU_ORACLE:
         return _oracle_forward(Qb, pb, Gb, hb, Ab, bb), None
