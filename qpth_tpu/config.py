@@ -155,6 +155,13 @@ class SolverConfig:
     #: Only the cached-product fast path tracks; other paths recompute
     #: every iteration regardless.
     resid_every: int | None = None
+    #: Coefficient-tracked x ("x-free" iterations): in tracked fast mode
+    #: the x iterate is carried as packed recurrence coefficients and
+    #: reconstructed only at residual checkpoints, removing the
+    #: per-iteration Q^-1 G^T (and Q^-1 A^T) HBM pass (see
+    #: core/pdipm.py). None = auto (on wherever tracked mode is active);
+    #: False = force the direct x recurrence (A/B measurement + tests).
+    coeff_x: bool | None = None
     #: Mixed-precision refinement: after the IPM loop, run this many extra
     #: Mehrotra iterations whose KKT residuals are computed in float64
     #: (TPU: software-emulated, exact) while every factorization/solve

@@ -358,14 +358,38 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
         ok_b = solver_factors.invQ_GT.shape[0] in (1, B)
         if neq == 0:
-            use_fused = ok_b and ipm_step_supported(nz, nineq, B)
+            use_fused = ok_b and ipm_step_supported(
+                nz, nineq, B,
+                xfree=(track and config.coeff_x is not False
+                       and backend.fused_step_xfree is not None))
         else:
             use_fused_eq = (ok_b
                             and solver_factors.S21.shape[0] in (1, B)
                             and ipm_step_supported(nz, nineq, B, neq))
+    # Coefficient-tracked x ("x-free" iterations). In the fast path the
+    # combined direction's dx = -(x + Q^-1 p) - Q^-1 G^T (z + dz)
+    # [- Q^-1 A^T (y + dy)] is affine in x and in loop-invariant
+    # vectors, so the damped update x' = (1-a) x - a Q^-1 p
+    # - a Q^-1 G^T (z+dz) [- a Q^-1 A^T (y+dy)] closes over
+    #     x_k = e_k x0 - c_k Q^-1 p - Q^-1 G^T w_k [- Q^-1 A^T v_k]
+    # with the elementwise recurrences e' = (1-a) e, c' = (1-a) c + a,
+    # w' = (1-a) w + a (z + dz), v' = (1-a) v + a (y + dy). x is then
+    # reconstructed only at residual checkpoints and after the loop, so
+    # the per-iteration Q^-1 G^T (and Q^-1 A^T) HBM passes — a full
+    # (B, nz, m) read per iteration in both the fused kernel and
+    # fast_combined_dx — disappear. Exact in real arithmetic; enabled in
+    # tracked mode only (f64 reference-parity mode has track=False and
+    # keeps the reference's direct x recurrence). The eq-fused kernel
+    # still owns its x/y updates internally, so it opts out.
+    xfree = (fast and track and not use_fused_eq
+             and config.coeff_x is not False
+             and (not use_fused or backend.fused_step_xfree is not None))
     if use_fused:
-        iGT_prep, q_t, ip_t = backend.prepare_fused(
-            solver_factors.invQ_GT, -(h + G_invQ_p), invQ_p)
+        if xfree:
+            q_t = backend.prepare_vec(-(h + G_invQ_p), 0.0)
+        else:
+            iGT_prep, q_t, ip_t = backend.prepare_fused(
+                solver_factors.invQ_GT, -(h + G_invQ_p), invQ_p)
     if use_fused_eq:
         eq_ops, q_t, ip_t = backend.prepare_fused_eq(
             solver_factors, b + A_invQ_p, -(h + G_invQ_p), invQ_p)
@@ -374,6 +398,12 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         """Whole predictor+corrector(+Gondzio) iteration in one kernel."""
         return backend.fused_step(solver_factors.R, iGT_prep, x, s, z,
                                   q_t, ip_t, config.n_correctors)
+
+    def fused_do_step_xfree(s, z):
+        """x-free fused iteration: returns (zeta, s', z', alpha) with
+        zeta = z + dz the w-recurrence anchor."""
+        return backend.fused_step_xfree(solver_factors.R, s, z, q_t,
+                                        config.n_correctors)
 
     def fused_do_step_eq(x, s, z, y):
         return backend.fused_step_eq(solver_factors.R, eq_ops, x, s, z, y,
@@ -516,6 +546,41 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     reg0 = jnp.where(bad0, jnp.asarray(config.ir_eps, dtype),
                      jnp.zeros((B,), dtype))
 
+    # x-free mode: replace the (B, nz) x carry by the packed coefficient
+    # vector [w (nineq) | v (neq) | e | c] with x = e x0 - c Q^-1 p
+    # - Q^-1 G^T w [- Q^-1 A^T v]; x0 is the (fail-softened) init point,
+    # so cold and warm starts use the same representation.
+    if xfree:
+        pw = nineq + neq
+        x0_anchor = x
+
+        def x_of(xp):
+            fs2 = solver_factors
+            xr = (xp[:, pw:pw + 1] * x0_anchor
+                  - xp[:, pw + 1:] * invQ_p
+                  - kkt_ops.bmv(fs2.invQ_GT, xp[:, :nineq]))
+            if neq > 0:
+                xr = xr - kkt_ops.bmv(fs2.invQ_AT, xp[:, nineq:pw])
+            return xr
+
+        def xp_step(xp, a_l, zeta, zy):
+            """One damped step on the packed coefficients. a_l: (B,);
+            zeta = z + dz; zy = y + dy (None when neq == 0). NaN-frozen
+            lanes arrive with a_l = 0 and masked anchors, so they are
+            exact no-ops."""
+            a = a_l[:, None]
+            na = 1.0 - a
+            parts = [na * xp[:, :nineq] + a * zeta]
+            if neq > 0:
+                parts.append(na * xp[:, nineq:pw] + a * zy)
+            parts.append(na * xp[:, pw:pw + 1])          # e
+            parts.append(na * xp[:, pw + 1:] + a)        # c
+            return jnp.concatenate(parts, axis=1)
+
+        x = jnp.concatenate(
+            [jnp.zeros((B, pw), dtype), jnp.ones((B, 1), dtype),
+             jnp.zeros((B, 1), dtype)], axis=1)
+
     inf = jnp.asarray(jnp.inf, dtype)
     state = _IPMState(
         x=x, s=s, z=z, y=y,
@@ -577,7 +642,8 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             else:
                 exact_now = (st.it % resid_every) == 0
             pri, dual = lax.cond(exact_now,
-                                 lambda: exact_pri_dual(x, s, z, y),
+                                 lambda: exact_pri_dual(
+                                     x_of(x) if xfree else x, s, z, y),
                                  lambda: (st.pri, st.dual))
             resids = pri + dual + nineq * mu
             rx = rz = ry = None
@@ -648,8 +714,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             the applied per-lane damped step length (0 on frozen lanes),
             and the per-lane adaptive regularization for the NEXT
             iteration."""
-            x, s, z, y, reg = args
+            x, s, z, y, reg = args       # x is packed in xfree mode
             if use_fused:
+                if xfree:
+                    zeta, s, z, a_l = fused_do_step_xfree(s, z)
+                    return xp_step(x, a_l, zeta, None), s, z, y, a_l, reg
                 x, s, z, a_l = fused_do_step(x, s, z)
                 return x, s, z, y, a_l, reg
             if use_fused_eq:
@@ -731,7 +800,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                 if not fast:
                     dx = jnp.where(acc, dx + ddx, dx)
 
-            if fast:
+            if fast and not xfree:
                 dx = fast_combined_dx(x, z, y, dz, dy)
             alpha = jnp.minimum(
                 0.999 * jnp.minimum(_step_to_boundary(z, dz),
@@ -740,9 +809,13 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             )
             # A lane whose factorization failed produces NaNs; freeze it so
             # healthy lanes keep running (replaces the global try/except
-            # bail-out at batch.py:110-113).
-            lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
-                        | jnp.isnan(dz).any(-1))
+            # bail-out at batch.py:110-113). In xfree mode dx is never
+            # formed; it is NaN exactly when dz is (affine in dz with
+            # finite loop-invariant coefficients), so (ds, dz[, dy]) cover
+            # the check.
+            lane_bad = jnp.isnan(ds).any(-1) | jnp.isnan(dz).any(-1)
+            if not xfree:
+                lane_bad = lane_bad | jnp.isnan(dx).any(-1)
             if neq > 0:
                 lane_bad = lane_bad | jnp.isnan(dy).any(-1)
             # Zero both alpha AND the directions for bad lanes: 0 * NaN is
@@ -751,7 +824,13 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             # transiently bad lane resumes on the next iteration.
             mask = lane_bad[:, None]
             alpha = jnp.where(mask, 0.0, alpha[:, None])
-            x = x + alpha * jnp.where(mask, 0.0, dx)
+            if xfree:
+                zeta = z + jnp.where(mask, 0.0, dz)
+                zy = ((y + jnp.where(mask, 0.0, dy))
+                      if neq > 0 else None)
+                x = xp_step(x, alpha[:, 0], zeta, zy)
+            else:
+                x = x + alpha * jnp.where(mask, 0.0, dx)
             s = s + alpha * jnp.where(mask, 0.0, ds)
             z = z + alpha * jnp.where(mask, 0.0, dz)
             if neq > 0:
@@ -786,6 +865,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         )
 
     final = lax.while_loop(cond_fn, body_fn, state)
+
+    if xfree:
+        # Back to actual iterates: one Q^-1 G^T [/ Q^-1 A^T] read per
+        # solve instead of one per iteration.
+        final = final._replace(x=x_of(final.x), best_x=x_of(final.best_x))
 
     if track:
         # Exactly rescore the final iterate (its iterations since the last

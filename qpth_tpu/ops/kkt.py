@@ -275,6 +275,13 @@ class KKTBackend(NamedTuple):
     #: (R_prepared, eq_ops, x, s, z, y, q_t, ip_t, n_correctors) ->
     #: (x', s', z', y'). None when unavailable.
     fused_step_eq: object = None
+    #: (v, fill) -> backend-layout loop-invariant vector (e.g. the lanes
+    #: (m, B) transpose of a (B, m) vector). None when unavailable.
+    prepare_vec: object = None
+    #: (R_prepared, s, z, q_t, n_correctors) -> (zeta, s', z', alpha):
+    #: the x-free fused step (coefficient-tracked x, neq == 0 only;
+    #: see core/pdipm.py). None when unavailable.
+    fused_step_xfree: object = None
 
 
 def xla_backend() -> KKTBackend:
@@ -413,6 +420,23 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                 jnp.swapaxes(zo[:, :B], 0, 1),
                 ao[0, :B])
 
+    def prepare_vec(v, fill=0.0):
+        return _pad_lanes(jnp.swapaxes(v, 0, 1), fill)
+
+    def fused_step_xfree(R_t, s, z, q_t, n_correctors):
+        from .pallas.lanes import ipm_step_xfree_lanes
+
+        B = s.shape[0]
+        s_t = _pad_lanes(jnp.swapaxes(s, 0, 1), 1.0)
+        z_t = _pad_lanes(jnp.swapaxes(z, 0, 1), 1.0)
+        zt, so, zo, ao = ipm_step_xfree_lanes(
+            R_t, s_t, z_t, q_t, n_correctors=n_correctors,
+            interpret=interpret)
+        return (jnp.swapaxes(zt[:, :B], 0, 1),
+                jnp.swapaxes(so[:, :B], 0, 1),
+                jnp.swapaxes(zo[:, :B], 0, 1),
+                ao[0, :B])
+
     def _mat_lanes(Mb, rows_pad, cols_pad):
         """(b, r, c) batch-major -> (r_p, c_p, b_p) lanes layout."""
         from .pallas.lanes import pad_up as _pu
@@ -466,7 +490,9 @@ def pallas_lanes_backend(interpret: bool | None = None) -> KKTBackend:
                       prepare_fused=prepare_fused,
                       fused_step=fused_step,
                       prepare_fused_eq=prepare_fused_eq,
-                      fused_step_eq=fused_step_eq)
+                      fused_step_eq=fused_step_eq,
+                      prepare_vec=prepare_vec,
+                      fused_step_xfree=fused_step_xfree)
 
 
 def pallas_hw_ok() -> bool:

@@ -977,16 +977,180 @@ def ipm_step_lanes(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t, *,
     )(R_t, iGT_t, x_t, s_t, z_t, q_t, ip_t)
 
 
-def ipm_step_supported(nz: int, m: int, B: int, neq: int = 0) -> bool:
+def ipm_step_supported(nz: int, m: int, B: int, neq: int = 0,
+                       xfree: bool = False) -> bool:
     """VMEM feasibility of the fused step: [T | G] buffer + Q^-1 G^T
-    (+ the equality-constraint operands S21/W/S11/S11^-1/Q^-1 A^T)."""
+    (+ the equality-constraint operands S21/W/S11/S11^-1/Q^-1 A^T).
+
+    ``xfree``: the coefficient-tracked-x variant never touches Q^-1 G^T /
+    Q^-1 A^T inside the kernel (x is reconstructed at residual
+    checkpoints from carried scalars; see core/pdipm.py), so its VMEM
+    bound is independent of nz."""
     m_p, nz_p = pad_up(max(m, 1)), pad_up(max(nz, 1))
     bt = _support_bt(B)
-    words = 2 * m_p * m_p + nz_p * m_p
+    words = 2 * m_p * m_p + (0 if xfree else nz_p * m_p)
     if neq > 0:
         q_p = pad_up(neq)
-        words += 2 * m_p * q_p + nz_p * q_p + 2 * q_p * q_p
+        words += 2 * m_p * q_p + 2 * q_p * q_p
+        if not xfree:
+            words += nz_p * q_p
     return words * bt * 4 <= _VMEM_BUDGET
+
+
+def _ipm_step_xfree_kernel(r_hbm, s_ref, z_ref, q_ref,
+                           zto_ref, so_ref, zo_ref, ao_ref, u_vmem,
+                           sem_r, *, m, m_p, bt, whole, shared_r,
+                           n_correctors, r1_vmem=None):
+    """x-free fused IPM step (neq == 0): identical predictor/corrector/
+    Gondzio algebra to _ipm_step_kernel, but x never enters the kernel.
+    The caller tracks x = e*x0 - c*Q^-1 p - Q^-1 G^T w through the scalar
+    recurrences e' = (1-a)e, c' = (1-a)c + a, w' = (1-a)w + a*(z + dz)
+    (exact by linearity of the combined-dx formula, core/pdipm.py), so
+    this kernel needs neither the Q^-1 G^T stream (one full HBM pass per
+    iteration in _ipm_step_kernel) nor the x/ip vectors. Outputs the
+    direction anchor zeta = z + dz (NaN-frozen lanes masked to zeta = z)
+    alongside (s', z', alpha)."""
+    i = pl.program_id(0)
+
+    def lane_slice(ref):
+        return ref if whole else ref.at[:, :, pl.ds(i * bt, bt)]
+
+    if shared_r:
+        cp_r = pltpu.make_async_copy(r_hbm, r1_vmem, sem_r)
+    else:
+        cp_r = pltpu.make_async_copy(
+            lane_slice(r_hbm), u_vmem.at[:, 0:m_p, :], sem_r)
+    cp_r.start()
+    _write_eye(u_vmem, m_p, m_p, bt, s_ref.dtype)
+    cp_r.wait()
+    if shared_r:
+        u_vmem[:, 0:m_p, :] = jnp.broadcast_to(
+            r1_vmem[...], (m_p, m_p, bt))
+
+    s = s_ref[...]                                    # (m, BT)
+    z = z_ref[...]
+    d = z / s
+    dinv = s / z
+
+    # Predictor RHS: q - R z (T half still holds raw R).
+    zp = jnp.pad(z, ((0, m_p - m), (0, 0))) if m_p != m else z
+    rz_rows = [jnp.sum(u_vmem[k0:k0 + min(SUB, m - k0), 0:m_p, :]
+                       * zp[None], axis=1)
+               for k0 in range(0, m, SUB)]
+    rhs_a = q_ref[...] - jnp.concatenate(rz_rows, axis=0)[:m]
+
+    dinv_pad = jnp.pad(dinv, ((0, m_p - m), (0, 0)),
+                       constant_values=1.0) if m_p != m else dinv
+    _chol_inv_inplace_v(u_vmem, dinv_pad, m, m_p, bt)
+
+    def apply_T(rhs):
+        return _inv_apply(
+            lambda k0, rows: u_vmem[k0:k0 + rows, m_p:, :], rhs, m, m_p)
+
+    # Predictor.
+    dz_a = apply_T(rhs_a)
+    ds_a = (-z - dz_a) / d
+    one = jnp.ones_like(d[0:1, :])
+    alpha = jnp.minimum(
+        jnp.minimum(_step_lanes(z, dz_a), _step_lanes(s, ds_a)), one)
+    t2 = jnp.sum(s * z, axis=0, keepdims=True)        # (1, BT)
+    t1 = jnp.sum((s + alpha * ds_a) * (z + alpha * dz_a), axis=0,
+                 keepdims=True)
+    sig = (t1 / t2) ** 3
+    mu = jnp.abs(t2) / m
+
+    # Corrector (RHS zero except rs).
+    rs_c = (-(mu * sig) + ds_a * dz_a) / s
+    dz_c = apply_T(-(rs_c / d))
+    ds_c = (-rs_c - dz_c) / d
+    dz = dz_a + dz_c
+    ds = ds_a + ds_c
+
+    for _ in range(n_correctors):
+        a_g = jnp.minimum(
+            jnp.minimum(_step_lanes(z, dz), _step_lanes(s, ds)), one)
+        a_t = jnp.minimum(1.08 * a_g + 0.08, one)
+        v = (s + a_t * ds) * (z + a_t * dz)
+        mu_t = sig * mu
+        rs_g = (v - jnp.clip(v, 0.1 * mu_t, 10.0 * mu_t)) / s
+        ddz = apply_T(-(rs_g / d))
+        dds = (-rs_g - ddz) / d
+        dz_n, ds_n = dz + ddz, ds + dds
+        a_n = jnp.minimum(
+            jnp.minimum(_step_lanes(z, dz_n), _step_lanes(s, ds_n)), one)
+        acc = a_n > a_g
+        dz = jnp.where(acc, dz_n, dz)
+        ds = jnp.where(acc, ds_n, ds)
+
+    alpha2 = jnp.minimum(
+        0.999 * jnp.minimum(_step_lanes(z, dz), _step_lanes(s, ds)), one)
+    # NaN freeze from (dz, ds) only: dx = -(x + ip) - iGT (z+dz) is NaN
+    # exactly when dz is (x/ip/iGT are finite loop invariants — a NaN
+    # there poisons the init solve and is caught by pdipm's fail-soft
+    # init), so dropping dx from the check loses nothing.
+    frozen = jnp.max(jnp.where(jnp.isnan(dz) | jnp.isnan(ds), 1.0, 0.0),
+                     axis=0, keepdims=True) > 0
+    alpha2 = jnp.where(frozen, 0.0, alpha2)
+    dz_m = jnp.where(frozen, 0.0, dz)
+    zto_ref[...] = z + dz_m
+    so_ref[...] = s + alpha2 * jnp.where(frozen, 0.0, ds)
+    zo_ref[...] = z + alpha2 * dz_m
+    ao_ref[...] = alpha2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_correctors", "interpret"))
+def ipm_step_xfree_lanes(R_t, s_t, z_t, q_t, *,
+                         n_correctors: int = 0,
+                         interpret: bool | None = None):
+    """One fused x-free IPM iteration (neq == 0, coefficient-tracked x).
+    Lanes layout: R_t (m_p, m_p, bR); s_t, z_t, q_t (m, B). Returns
+    (zeta_t, s_t', z_t', alpha_t) with zeta = z + dz (the w-recurrence
+    anchor) and alpha_t (1, B) the applied damped step length."""
+    if interpret is None:
+        interpret = _default_interpret()
+    m, B = s_t.shape
+    m_p = R_t.shape[0]
+    assert m_p == pad_up(m)
+    bt = pick_bt(B)
+    shared = R_t.shape[-1] == 1
+    whole = bt == B
+
+    def kernel(r_hbm, s_ref, z_ref, q_ref, zto_ref, so_ref, zo_ref,
+               ao_ref, u_vmem, sem_r, *scr):
+        _ipm_step_xfree_kernel(r_hbm, s_ref, z_ref, q_ref,
+                               zto_ref, so_ref, zo_ref, ao_ref, u_vmem,
+                               sem_r, m=m, m_p=m_p, bt=bt, whole=whole,
+                               shared_r=shared, n_correctors=n_correctors,
+                               r1_vmem=scr[0] if scr else None)
+
+    vec = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i),  # noqa
+                                    memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((m_p, 2 * m_p, bt), s_t.dtype),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if shared:
+        scratch.append(pltpu.VMEM((m_p, m_p, 1), s_t.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec(m), vec(m), vec(m),
+        ],
+        out_specs=[vec(m), vec(m), vec(m), vec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, B), s_t.dtype),
+            jax.ShapeDtypeStruct((m, B), s_t.dtype),
+            jax.ShapeDtypeStruct((m, B), s_t.dtype),
+            jax.ShapeDtypeStruct((1, B), s_t.dtype),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(R_t, s_t, z_t, q_t)
 
 
 @functools.partial(jax.jit,
