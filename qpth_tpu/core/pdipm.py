@@ -80,6 +80,7 @@ class _IPMState(NamedTuple):
     best_z: jnp.ndarray
     best_y: jnp.ndarray
     best_resids: jnp.ndarray
+    best_resids_o: jnp.ndarray    # (B,) original-coordinate score (fold mode)
     mu: jnp.ndarray
     n_not_improved: jnp.ndarray   # scalar int32 (global mode) / (B,) int32
     lane_done: jnp.ndarray        # (B,) bool; latched (per-lane mode only)
@@ -280,7 +281,7 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
 
 
 def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
-          config: SolverConfig, init=None) -> QPSolution:
+          config: SolverConfig, init=None, unscale=None) -> QPSolution:
     """Run the batched IPM. Matrix params carry minimal batch dims
     (1 when shared); vector params p, h, b are (B, .) full-batch.
 
@@ -291,6 +292,18 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     receding-horizon solution; s and z are clipped to
     ``config.warm_start_min`` to restore strict interiority. y may be None
     when neq == 0.
+
+    ``unscale``: when solving a Ruiz-equilibrated problem (scaling.py),
+    the elementwise weights ``(wx, wz, wy, c)`` mapping SCALED residual
+    vectors back to original coordinates (rx = wx * rx~, rz = wz * rz~,
+    ry = wy * ry~, mu = mu~ / c). The reported stats (best_resids, mu,
+    converged) are then of the ORIGINAL problem, computed by weighting
+    the residual vectors the solver already forms at its exact scoring
+    events — no extra full-matrix reads (the caller's separate
+    original-coordinate rescore becomes redundant). Termination and
+    best-iterate SELECTION still use the scaled scores, so the iteration
+    path is unchanged. Ignored when refine_steps > 0 (the refined point
+    is rescored by the caller).
     """
     B, nz = p.shape
     nineq = G.shape[-2]
@@ -335,6 +348,14 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     # Tracked-residual mode (see SolverConfig.resid_every): replace the
     # per-iteration residual matvecs by exact per-lane norm scaling
     # r_new = (1 - alpha) r, with exact recomputes at checkpoints.
+    # Original-coordinate stats fold (see the unscale docstring): weight
+    # the residual vectors at the existing exact scoring events instead of
+    # a separate post-solve rescore (3 full-matrix reads saved).
+    fold = unscale is not None and config.refine_steps == 0
+    if fold:
+        w_rx, w_rz, w_ry, sc_c = unscale
+        c_flat = sc_c[..., 0]
+
     resid_every = config.resid_every
     if resid_every is None:
         # f32 default 7: measured Pareto point on the harsh headline
@@ -586,6 +607,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         x=x, s=s, z=z, y=y,
         best_x=x, best_s=s, best_z=z, best_y=y,
         best_resids=jnp.full((B,), inf, dtype),
+        best_resids_o=jnp.full((B,), inf, dtype),
         mu=jnp.zeros((B,), dtype),
         n_not_improved=jnp.zeros((B,) if per_lane_term else (),
                                  jnp.int32),
@@ -598,17 +620,27 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     )
 
     def exact_pri_dual(x, s, z, y):
-        """(pri, dual) residual norms, computed from scratch."""
+        """(pri, dual[, pri_o, dual_o]) residual norms from scratch; the
+        _o pair (fold mode) weights the same residual vectors back to
+        original coordinates — no extra matrix reads."""
         rx = kkt_ops.bmv(Q, x) + p + kkt_ops.btmv(G, z)
         if neq > 0:
             rx = rx + kkt_ops.btmv(A, y)
-            y_resid = jnp.linalg.norm(kkt_ops.bmv(A, x) - b, axis=-1)
+            ry = kkt_ops.bmv(A, x) - b
+            y_resid = jnp.linalg.norm(ry, axis=-1)
         else:
+            ry = None
             y_resid = jnp.zeros((B,), dtype)
         rz = kkt_ops.bmv(G, x) + s - h
         pri = y_resid + jnp.linalg.norm(rz, axis=-1)
         dual = jnp.linalg.norm(rx, axis=-1)
-        return pri, dual
+        if not fold:
+            return pri, dual, pri, dual
+        pri_o = jnp.linalg.norm(rz * w_rz, axis=-1)
+        if neq > 0:
+            pri_o = pri_o + jnp.linalg.norm(ry * w_ry, axis=-1)
+        dual_o = jnp.linalg.norm(rx * w_rx, axis=-1)
+        return pri, dual, pri_o, dual_o
 
     def residuals(x, s, z, y):
         """batch.py:94-107."""
@@ -641,14 +673,24 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                 exact_now = st.it == 0
             else:
                 exact_now = (st.it % resid_every) == 0
-            pri, dual = lax.cond(exact_now,
-                                 lambda: exact_pri_dual(
-                                     x_of(x) if xfree else x, s, z, y),
-                                 lambda: (st.pri, st.dual))
+            pri, dual, pri_o, dual_o = lax.cond(
+                exact_now,
+                lambda: exact_pri_dual(
+                    x_of(x) if xfree else x, s, z, y),
+                # The _o fallbacks are never recorded (updates are gated
+                # on exact_now below).
+                lambda: (st.pri, st.dual, st.pri, st.dual))
             resids = pri + dual + nineq * mu
             rx = rz = ry = None
         else:
             rx, rz, ry, mu, resids, pri, dual = residuals(x, s, z, y)
+            if fold:
+                pri_o = jnp.linalg.norm(rz * w_rz, axis=-1)
+                if neq > 0:
+                    pri_o = pri_o + jnp.linalg.norm(ry * w_ry, axis=-1)
+                dual_o = jnp.linalg.norm(rx * w_rx, axis=-1)
+        if fold:
+            resids_o = pri_o + dual_o + nineq * (mu / c_flat)
 
         if config.verbose >= 1 and _runtime_supports_callbacks():
             jax.debug.print(
@@ -669,6 +711,9 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             improved_strict = improved_strict & exact_now
             improved = improved & exact_now
         best_resids = jnp.where(improved_strict, resids, st.best_resids)
+        best_resids_o = (jnp.where(improved_strict, resids_o,
+                                   st.best_resids_o)
+                         if fold else st.best_resids_o)
         imp_col = improved_strict[:, None]
         best_x = jnp.where(imp_col, x, st.best_x)
         best_s = jnp.where(imp_col, s, st.best_s)
@@ -858,7 +903,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         return _IPMState(
             x=x, s=s, z=z, y=y,
             best_x=best_x, best_s=best_s, best_z=best_z, best_y=best_y,
-            best_resids=best_resids, mu=mu,
+            best_resids=best_resids, best_resids_o=best_resids_o, mu=mu,
             n_not_improved=n_not, lane_done=lane_done,
             it=st.it + 1, done=done,
             pri=pri, dual=dual, reg=reg,
@@ -882,7 +927,17 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         if neq > 0:
             pri_f = pri_f + jnp.linalg.norm(ry_f, axis=-1)
         score_f = pri_f + jnp.linalg.norm(rx_f, axis=-1) + nineq * mu_f
-        take = (score_f < final.best_resids)[:, None]
+        take1 = score_f < final.best_resids
+        take = take1[:, None]
+        if fold:
+            pri_fo = jnp.linalg.norm(rz_f * w_rz, axis=-1)
+            if neq > 0:
+                pri_fo = pri_fo + jnp.linalg.norm(ry_f * w_ry, axis=-1)
+            score_fo = (pri_fo + jnp.linalg.norm(rx_f * w_rx, axis=-1)
+                        + nineq * (mu_f / c_flat))
+            best_o = jnp.where(take1, score_fo, final.best_resids_o)
+        else:
+            best_o = final.best_resids_o
         final = final._replace(
             best_x=jnp.where(take, final.x, final.best_x),
             best_s=jnp.where(take, final.s, final.best_s),
@@ -890,6 +945,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             best_y=(jnp.where(take, final.y, final.best_y)
                     if neq > 0 else final.best_y),
             best_resids=jnp.minimum(score_f, final.best_resids),
+            best_resids_o=best_o,
         )
 
     lo = None
@@ -922,12 +978,25 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             lambda: None,
         )
 
-    stats = SolveStats(
-        iterations=final.it,
-        best_resids=final.best_resids,
-        mu=final.mu,
-        converged=final.best_resids < config.eps,
-    )
+    if fold:
+        # Report original-coordinate stats: the best point's score from
+        # the fold, its mu by the elementwise identity
+        # s z = (s~ lam~) / c (see scaling.py's solution mapping).
+        mu_best_o = (jnp.abs((final.best_s * final.best_z).sum(axis=-1))
+                     / nineq / c_flat)
+        stats = SolveStats(
+            iterations=final.it,
+            best_resids=final.best_resids_o,
+            mu=mu_best_o,
+            converged=final.best_resids_o < config.eps,
+        )
+    else:
+        stats = SolveStats(
+            iterations=final.it,
+            best_resids=final.best_resids,
+            mu=final.mu,
+            converged=final.best_resids < config.eps,
+        )
     from ..config import QPSolutionLow
 
     lo_tuple = (QPSolutionLow(z=lo[0], nu=lo[3], lam=lo[2], s=lo[1])

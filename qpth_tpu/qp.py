@@ -121,8 +121,18 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
         ps, hs, bs = scaling_mod.scale_vecs(pb, hb, bb, sc)
         init_s = (scaling_mod.scale_point(*init, sc)
                   if init is not None else None)
+        # Honest stats in ORIGINAL coordinates so best_resids/mu/converged
+        # mean the same thing with and without equilibration. Without
+        # refinement the solver folds them into its existing exact scoring
+        # events (elementwise residual weights — zero extra matrix reads);
+        # with refinement the refined point is rescored here instead.
+        folded = config.refine_steps == 0
+        unscale = None
+        if folded:
+            unscale = (1.0 / (sc.c * sc.E), 1.0 / sc.RG,
+                       (1.0 / sc.RA) if sc.RA is not None else None, sc.c)
         sol = pdipm.solve(factors.Qs, ps, factors.Gs, hs, factors.As, bs,
-                          factors, config, init=init_s)
+                          factors, config, init=init_s, unscale=unscale)
         z, nu, lam, s = scaling_mod.unscale_solution(
             sol.z, sol.nu, sol.lam, sol.s, sc)
         lo = sol.lo
@@ -132,10 +142,9 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
             z_lo, nu_lo, lam_lo, s_lo = scaling_mod.unscale_solution(
                 lo.z, lo.nu, lo.lam, lo.s, sc)
             lo = lo._replace(z=z_lo, nu=nu_lo, lam=lam_lo, s=s_lo)
-        # Honest stats: rescore the returned point in ORIGINAL
-        # coordinates (three matvecs, ~1% of a headline solve) so
-        # best_resids/mu/converged mean the same thing with and without
-        # equilibration — the in-loop scores are of the scaled problem.
+        if folded:
+            sol = sol._replace(z=z, nu=nu, lam=lam, s=s, lo=lo)
+            return sol, factors
         nineq = Gb.shape[-2]
         y_arg = nu if (Ab is not None and nu.shape[-1] > 0) else None
         rx_o, rz_o, ry_o, mu_o = kkt_ops.kkt_residuals(

@@ -102,6 +102,28 @@ def _rowmax(M, b):
     return m
 
 
+def _wcolmax(aM, r, b):
+    """Column norms of diag(r) @ aM: max_i r_i aM[i, j], batch-collapsed.
+
+    aM is an |original-matrix| EXPRESSION (never materialized — the
+    row-weighting multiply fuses into the reduction's read of M), r the
+    accumulated row scaling. With pow2 scalings every multiply is exact,
+    so this equals the column norm of the materialized scaled matrix
+    bit-for-bit."""
+    m = (aM * r[..., :, None]).max(axis=-2)
+    if aM.shape[0] > b:
+        m = m.max(axis=0, keepdims=True)
+    return m
+
+
+def _wrowmax(aM, cw, b):
+    """Row norms of aM @ diag(cw): max_j aM[i, j] cw_j, batch-collapsed."""
+    m = (aM * cw[..., None, :]).max(axis=-1)
+    if aM.shape[0] > b:
+        m = m.max(axis=0, keepdims=True)
+    return m
+
+
 def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
                      axis_name=None):
     """Compute Ruiz scalings and the scaled matrices.
@@ -137,36 +159,49 @@ def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
     RG = jnp.ones((b, nineq), dt)
     RA = jnp.ones((b, A.shape[-2]), dt) if A is not None else None
 
-    Qs, Gs, As = Q, G, A
+    # Norm-only iterations: the scaled matrices are NEVER materialized in
+    # the loop. Each iteration needs only the row/column infinity norms of
+    # the currently-scaled KKT blocks, and with diagonal scalings those
+    # are weighted norms of the ORIGINAL data (|Qs_ij| = E_i |Q_ij| E_j,
+    # |Gs_ij| = RG_i |G_ij| E_j) — computed by fused read-only passes.
+    # Materializing per iteration cost ~2 full read+write passes over
+    # (Q, G) per Ruiz step: ~3.6 ms of pure HBM traffic at the headline
+    # shape (B=4096, nz=m=100), i.e. ~8% of the whole solve. With pow2
+    # scalings the weighted norms (and the final one-shot application
+    # below) are bit-identical to the materializing loop.
+    aQ, aG = jnp.abs(Q), jnp.abs(G)
+    aA = jnp.abs(A) if A is not None else None
     for _ in range(iters):
         # Column norms of the full KKT matrix per variable: the Q block's
         # columns plus G's (and A's) columns.
-        cn = jnp.maximum(_colmax(Qs, b), _colmax(Gs, b))
+        cn = jnp.maximum(_wcolmax(aQ, E, b) * E, _wcolmax(aG, RG, b) * E)
         if A is not None:
-            cn = jnp.maximum(cn, _colmax(As, b))
+            cn = jnp.maximum(cn, _wcolmax(aA, RA, b) * E)
         cn = _gmax(cn)
         dE = 1.0 / jnp.sqrt(_safe(cn))
-        dG = 1.0 / jnp.sqrt(_safe(_gmax(_rowmax(Gs, b))))
-        dA = (1.0 / jnp.sqrt(_safe(_gmax(_rowmax(As, b))))
+        dG = 1.0 / jnp.sqrt(_safe(_gmax(_wrowmax(aG, E, b) * RG)))
+        dA = (1.0 / jnp.sqrt(_safe(_gmax(_wrowmax(aA, E, b) * RA)))
               if A is not None else None)
         if pow2:
             dE, dG = _pow2(dE), _pow2(dG)
             dA = _pow2(dA) if dA is not None else None
         E, RG = E * dE, RG * dG
         RA = RA * dA if A is not None else None
-        Qs = Qs * (dE[..., :, None] * dE[..., None, :])
-        Gs = Gs * (dG[..., :, None] * dE[..., None, :])
-        if A is not None:
-            As = As * (dA[..., :, None] * dE[..., None, :])
 
     # Cost normalization from Q alone (using p would make the scaling
     # per-solve and per-lane, materializing shared matrices — see module
     # docstring). Mean scaled-column norm of Q, as in OSQP's rho rule.
-    qn = _gmax(_colmax(Qs, b)).mean(axis=-1, keepdims=True)
+    qn = _gmax(_wcolmax(aQ, E, b) * E).mean(axis=-1, keepdims=True)
     c = 1.0 / _safe(qn)
     if pow2:
         c = _pow2(c)
-    Qs = Qs * c[..., None]
+    # One-shot application (pow2 products are exact powers of two, so
+    # this equals the per-iteration application exactly). Left as fusable
+    # elementwise expressions: XLA folds the multiply into the consumers'
+    # first read of Q/G (the prefactor's lanes transpose, GT).
+    Qs = Q * (c[..., None] * E[..., :, None] * E[..., None, :])
+    Gs = G * (RG[..., :, None] * E[..., None, :])
+    As = A * (RA[..., :, None] * E[..., None, :]) if A is not None else None
     scaling = Scaling(E=E, RG=RG, RA=RA, c=c)
     return scaling, Qs, Gs, As
 
