@@ -96,9 +96,11 @@ def main(n=100, m=100, B=4096):
     gen = make(n, m, B)
 
     variants = [
+        ("equilibrate=False", dict(equilibrate=False)),
         ("ruiz_iters=0 (plumbing)", dict(ruiz_iters=0)),
-        ("ruiz_iters=2", dict(ruiz_iters=2)),
         ("ruiz_iters=1", dict(ruiz_iters=1)),
+        ("ruiz_iters=2", dict(ruiz_iters=2)),
+        ("ruiz_iters=4 (default)", dict()),
     ]
     for name, kw in variants:
         cfg = qpth_tpu.SolverConfig(check_Q_spd=False, **kw)

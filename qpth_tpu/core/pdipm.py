@@ -92,7 +92,8 @@ class _IPMState(NamedTuple):
 
 
 def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
-               kkt_factor_solve, kkt_solve, config: SolverConfig):
+               kkt_factor_solve, kkt_solve, config: SolverConfig,
+               maps=None):
     """Pure-float32 mixed-precision refinement via double-word arithmetic
     (ops/dw.py): the x64-free twin of :func:`_refine`, so accuracy mode
     runs ON TPU with the Pallas kernels live (Mosaic cannot compile under
@@ -104,13 +105,31 @@ def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
     ``lo`` holds the iterate low words — a single f32 word cannot even
     represent a 1e-8-accurate solution (eps_f32 ~ 1.2e-7), so the exact
     refined solution is (hi + lo).
+
+    ``maps`` (equilibration): (m_x, m_s, m_z, m_y, w_rx, w_rz, w_ry, c)
+    pow2 coordinate maps. Iterates/solves stay in SCALED coordinates, but
+    residuals and scores are of the ORIGINAL problem: the dw iterate maps
+    to original by exact pow2 multiplies, the matvecs read the original
+    matrices, and the solve RHS maps back by rx~ = w_rx rx (exact) — so
+    the refined fixed point is the ORIGINAL problem's solution to dw
+    precision, and the reported score needs no separate rescore.
     """
     from ..ops import dw
 
+    if maps is not None:
+        m_x, m_s, m_z, m_y, w_rx, w_rz, w_ry, _ = maps
+
     def score_dw(x, s, z, y):
-        """KKT residuals of a double-word iterate; norms/mu in f32 from
-        the hi words (the dw matvec's hi word IS the true residual to
-        2^-24 relative — the cancellation happened in exact arithmetic)."""
+        """ORIGINAL-problem KKT residuals of a (scaled) double-word
+        iterate; norms/mu in f32 from the hi words (the dw matvec's hi
+        word IS the true residual to 2^-24 relative — the cancellation
+        happened in exact arithmetic)."""
+        if maps is not None:
+            x = dw.dw_mul_pow2(x, m_x)
+            s = dw.dw_mul_pow2(s, m_s)
+            z = dw.dw_mul_pow2(z, m_z)
+            if neq > 0:
+                y = dw.dw_mul_pow2(y, m_y)
         rx = dw.dw_add_dw(dw.dw_mv(Q, x), dw.dw_mtv(G, z))
         rx = dw.dw_add_f32(rx, p)
         if neq > 0:
@@ -163,9 +182,15 @@ def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
         # z would inject ds = -z/d_clamped ~ -grad_clamp drift into every
         # active slack per step (measured: a 1e-8..1e-7 floor).
         rs_eff = z.hi * (s.hi / s_hat)
-        ry_hi = ry.hi if neq > 0 else None
-        fac, dx, ds, dz, dy = kkt_factor_solve(
-            d, rx.hi, rs_eff, rz.hi, ry_hi)
+        # The solve runs in scaled coordinates: map the original-problem
+        # residuals in by the exact pow2 weights.
+        if maps is not None:
+            rx_s, rz_s = rx.hi * w_rx, rz.hi * w_rz
+            ry_s = (ry.hi * w_ry) if neq > 0 else None
+        else:
+            rx_s, rz_s = rx.hi, rz.hi
+            ry_s = ry.hi if neq > 0 else None
+        fac, dx, ds, dz, dy = kkt_factor_solve(d, rx_s, rs_eff, rz_s, ry_s)
         lane_bad = (jnp.isnan(dx).any(-1) | jnp.isnan(ds).any(-1)
                     | jnp.isnan(dz).any(-1))
         if neq > 0:
@@ -196,7 +221,7 @@ def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
 
 
 def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
-            kkt_factor_solve, kkt_solve, config: SolverConfig):
+            kkt_factor_solve, kkt_solve, config: SolverConfig, maps=None):
     """Mixed-precision refinement (SolverConfig.refine_steps): extra
     Mehrotra iterations with float64 residuals and working-dtype solves.
 
@@ -209,6 +234,10 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
     hard-part 1's mitigation; the reference instead runs f64 end-to-end
     (reference test.py:69-96). Without x64 the double-word twin
     (:func:`_refine_dw`) runs instead — pure f32, Pallas kernels live.
+
+    ``maps``: equilibration coordinate maps — same contract as
+    :func:`_refine_dw` (iterates/solves scaled, residuals/scores of the
+    ORIGINAL problem; all maps are exact pow2 multiplies).
     """
     f64 = jnp.float64
     Q64, G64 = Q.astype(f64), G.astype(f64)
@@ -216,8 +245,16 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
     A64 = A.astype(f64) if neq > 0 else None
     b64 = b.astype(f64) if neq > 0 else None
     wd = dtype
+    if maps is not None:
+        m_x, m_s, m_z, m_y, w_rx, w_rz, w_ry, _ = maps
+        m_x, m_s, m_z = (v.astype(f64) for v in (m_x, m_s, m_z))
+        m_y = m_y.astype(f64) if m_y is not None else None
 
     def score64(x, s, z, y):
+        if maps is not None:
+            x, s, z = x * m_x, s * m_s, z * m_z
+            if neq > 0:
+                y = y * m_y
         rx = kkt_ops.bmv(Q64, x) + p64 + kkt_ops.btmv(G64, z)
         if neq > 0:
             rx = rx + kkt_ops.btmv(A64, y)
@@ -255,6 +292,11 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
         d32 = (jnp.maximum(z, c) / s_hat).astype(wd)
         # (s z)/s_hat, not z — see _refine_dw's comment.
         rs_eff = (z * (s / s_hat)).astype(wd)
+        # Map the original-problem residuals into scaled coordinates for
+        # the solve (exact pow2 weights).
+        if maps is not None:
+            rx, rz = rx * w_rx, rz * w_rz
+            ry = (ry * w_ry) if neq > 0 else None
         ry32 = ry.astype(wd) if neq > 0 else None
         fac, dx, ds, dz, dy = kkt_factor_solve(
             d32, rx.astype(wd), rs_eff, rz.astype(wd), ry32)
@@ -281,9 +323,10 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
 
 
 def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
-          config: SolverConfig, init=None, unscale=None) -> QPSolution:
+          config: SolverConfig, init=None) -> QPSolution:
     """Run the batched IPM. Matrix params carry minimal batch dims
     (1 when shared); vector params p, h, b are (B, .) full-batch.
+    All parameters are in ORIGINAL (user) coordinates.
 
     A/b are None when neq == 0. ``factors`` comes from
     ``kkt_ops.pre_factor_kkt`` (ignored by the FULL/IR paths).
@@ -293,23 +336,56 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     ``config.warm_start_min`` to restore strict interiority. y may be None
     when neq == 0.
 
-    ``unscale``: when solving a Ruiz-equilibrated problem (scaling.py),
-    the elementwise weights ``(wx, wz, wy, c)`` mapping SCALED residual
-    vectors back to original coordinates (rx = wx * rx~, rz = wz * rz~,
-    ry = wy * ry~, mu = mu~ / c). The reported stats (best_resids, mu,
-    converged) are then of the ORIGINAL problem, computed by weighting
-    the residual vectors the solver already forms at its exact scoring
-    events — no extra full-matrix reads (the caller's separate
-    original-coordinate rescore becomes redundant). Termination and
-    best-iterate SELECTION still use the scaled scores, so the iteration
-    path is unchanged. Ignored when refine_steps > 0 (the refined point
-    is rescored by the caller).
+    Equilibration (``factors.scaling``, scaling.py): the IPM iterates in
+    SCALED coordinates (the factors are of the scaled problem), but the
+    residual matvecs at exact scoring events read the ORIGINAL matrices —
+    the scaled iterate maps to original coordinates by exact pow2
+    elementwise multiplies, and the scaled residual norms (which drive
+    termination and best-iterate selection, so the iteration path matches
+    a scaled-data solve) are elementwise weightings of the same original
+    residual vectors (rx~ = cE rx, rz~ = R_G rz, ry~ = R_A ry,
+    mu~ = c mu). Full-size scaled matrix copies therefore never
+    materialize, and the returned solution, duals, and stats are all in
+    original coordinates.
     """
     B, nz = p.shape
     nineq = G.shape[-2]
     neq = A.shape[-2] if A is not None else 0
     dtype = p.dtype
     axis = config.axis_name
+
+    sc = factors.scaling if factors is not None else None
+    scaled = sc is not None
+    if scaled:
+        from .. import scaling as scaling_mod
+
+        p_, h_, b_ = scaling_mod.scale_vecs(p, h, b, sc)
+        if init is not None:
+            init = scaling_mod.scale_point(*init, sc)
+        w_rx = sc.c * sc.E           # rx~ = w_rx * rx (exact: pow2)
+        w_rz = sc.RG
+        w_ry = sc.RA
+        c_flat = sc.c[..., 0]
+        m_x, m_s = sc.E, 1.0 / sc.RG  # iterate -> original coordinates
+        m_z = sc.RG / sc.c
+        m_y = (sc.RA / sc.c) if sc.RA is not None else None
+        # The non-fast machinery (substitution-mode RHS prep, FULL/IR
+        # saddle solves) consumes scaled matrices directly; defined as
+        # fusable expressions — dead (never materialized) on the fast path.
+        Qm = scaling_mod.scale_Q(Q, sc)
+        Gm = scaling_mod.scale_G(G, sc)
+        Am = scaling_mod.scale_A(A, sc)
+    else:
+        p_, h_, b_ = p, h, b
+        Qm, Gm, Am = Q, G, A
+
+    def to_orig(x, s, z, y):
+        """Map a scaled-coordinates iterate to the original problem's
+        (x, s, lam, nu) — identity when no scaling is active."""
+        if not scaled:
+            return x, s, z, y
+        return (x * m_x, s * m_s, z * m_z,
+                (y * m_y) if neq > 0 else y)
 
     # Dtype-aware plateau margin (see SolverConfig.improve_margin): strict
     # 0 at f64 for reference parity; 1e-3 below f64, where noise-level
@@ -348,14 +424,6 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     # Tracked-residual mode (see SolverConfig.resid_every): replace the
     # per-iteration residual matvecs by exact per-lane norm scaling
     # r_new = (1 - alpha) r, with exact recomputes at checkpoints.
-    # Original-coordinate stats fold (see the unscale docstring): weight
-    # the residual vectors at the existing exact scoring events instead of
-    # a separate post-solve rescore (3 full-matrix reads saved).
-    fold = unscale is not None and config.refine_steps == 0
-    if fold:
-        w_rx, w_rz, w_ry, sc_c = unscale
-        c_flat = sc_c[..., 0]
-
     resid_every = config.resid_every
     if resid_every is None:
         # f32 default 7: measured Pareto point on the harsh headline
@@ -367,9 +435,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     track = fast and resid_every != 1
     if fast:
         fs = solver_factors
-        invQ_p = kkt_ops.apply_invQ(fs, p)
-        G_invQ_p = kkt_ops.bmv(G, invQ_p)
-        A_invQ_p = kkt_ops.bmv(A, invQ_p) if neq > 0 else None
+        invQ_p = kkt_ops.apply_invQ(fs, p_)
+        # G~ Q~^-1 p~ = (Q~^-1 G~^T)^T p~ — via the cached product, so the
+        # (scaled) constraint matrices are never read here.
+        G_invQ_p = kkt_ops.btmv(fs.invQ_GT, p_)
+        A_invQ_p = kkt_ops.btmv(fs.invQ_AT, p_) if neq > 0 else None
 
     # Fully-fused IPM step (one Pallas kernel per iteration): lanes
     # backend, batched-or-shared operands, and everything fits VMEM.
@@ -407,13 +477,13 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
              and (not use_fused or backend.fused_step_xfree is not None))
     if use_fused:
         if xfree:
-            q_t = backend.prepare_vec(-(h + G_invQ_p), 0.0)
+            q_t = backend.prepare_vec(-(h_ + G_invQ_p), 0.0)
         else:
             iGT_prep, q_t, ip_t = backend.prepare_fused(
-                solver_factors.invQ_GT, -(h + G_invQ_p), invQ_p)
+                solver_factors.invQ_GT, -(h_ + G_invQ_p), invQ_p)
     if use_fused_eq:
         eq_ops, q_t, ip_t = backend.prepare_fused_eq(
-            solver_factors, b + A_invQ_p, -(h + G_invQ_p), invQ_p)
+            solver_factors, b_ + A_invQ_p, -(h_ + G_invQ_p), invQ_p)
 
     def fused_do_step(x, s, z):
         """Whole predictor+corrector(+Gondzio) iteration in one kernel."""
@@ -439,9 +509,9 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         dx_affine + dx_corrector, so the combined dx is assembled once in
         fast_combined (one invQ_GT read per iteration instead of two)."""
         fs = solver_factors
-        q = -(h + G_invQ_p)
+        q = -(h_ + G_invQ_p)
         if neq > 0:
-            r1 = (b + A_invQ_p + kkt_ops.btmv(fs.S21, z)
+            r1 = (b_ + A_invQ_p + kkt_ops.btmv(fs.S21, z)
                   + kkt_ops.bmv(fs.S11, y))
             u = kkt_ops.bmv(fs.invS11, -r1)
             wz = kkt_ops.bmv(fs.W, z)
@@ -484,10 +554,10 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         """
         if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
             rhs_T, u = kkt_ops.prepare_rhs_kkt(
-                solver_factors, d, G, A, rx, rs, rz, ry,
+                solver_factors, d, Gm, Am, rx, rs, rz, ry,
                 solve2=backend.solve2)
             fac, dz = backend.factor_solve(solver_factors.R, d, rhs_T)
-            out = kkt_ops.backsub_kkt(solver_factors, dz, u, d, G, A,
+            out = kkt_ops.backsub_kkt(solver_factors, dz, u, d, Gm, Am,
                                       rx, rs, solve2=backend.solve2)
             return (fac,) + out
         return (None,) + kkt_solve(None, d, rx, rs, rz, ry)
@@ -497,7 +567,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
         rx/rs/rz/ry may be None (structurally zero)."""
         if config.kkt_solver == KKTSolver.CHOL_PARTIAL:
-            return kkt_ops.solve_kkt(solver_factors, fac, d, G, A,
+            return kkt_ops.solve_kkt(solver_factors, fac, d, Gm, Am,
                                      rx, rs, rz, ry, solve2=backend.solve2)
         # The FULL / IR reference paths take dense RHS blocks.
         rx = rx if rx is not None else jnp.zeros((B, nz), dtype)
@@ -507,9 +577,9 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             ry = jnp.zeros((B, neq), dtype)
         D = bdiag(d)
         if config.kkt_solver == KKTSolver.FULL:
-            return kkt_ops.factor_solve_kkt(Q, D, G, A, rx, rs, rz, ry)
+            return kkt_ops.factor_solve_kkt(Qm, D, Gm, Am, rx, rs, rz, ry)
         if config.kkt_solver == KKTSolver.IR:
-            return kkt_ops.solve_kkt_ir(Q, D, G, A, rx, rs, rz, ry,
+            return kkt_ops.solve_kkt_ir(Qm, D, Gm, Am, rx, rs, rz, ry,
                                         eps=config.ir_eps,
                                         niter=config.ir_iters)
         raise ValueError(config.kkt_solver)
@@ -532,8 +602,8 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                                            ones_m)
             x = fast_combined_dx(zeros_n, zeros_m, y0, z, y)
         else:
-            _, x, s, z, y = kkt_factor_solve(ones_m, p, None, -h,
-                                             -b if neq > 0 else None)
+            _, x, s, z, y = kkt_factor_solve(ones_m, p_, None, -h_,
+                                             -b_ if neq > 0 else None)
 
         # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
         def shift_pos(v):
@@ -620,44 +690,57 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     )
 
     def exact_pri_dual(x, s, z, y):
-        """(pri, dual[, pri_o, dual_o]) residual norms from scratch; the
-        _o pair (fold mode) weights the same residual vectors back to
-        original coordinates — no extra matrix reads."""
-        rx = kkt_ops.bmv(Q, x) + p + kkt_ops.btmv(G, z)
+        """(pri, dual, pri_o, dual_o) residual norms from scratch, reading
+        the ORIGINAL matrices: the scaled iterate maps to original
+        coordinates by exact elementwise multiplies, and the scaled norms
+        (termination/selection basis) are elementwise weightings of the
+        same original residual vectors — so the scaled matrices are never
+        read (nor even materialized). Identity when no scaling is active.
+        """
+        xo, so, zo, yo = to_orig(x, s, z, y)
+        rx = kkt_ops.bmv(Q, xo) + p + kkt_ops.btmv(G, zo)
         if neq > 0:
-            rx = rx + kkt_ops.btmv(A, y)
-            ry = kkt_ops.bmv(A, x) - b
-            y_resid = jnp.linalg.norm(ry, axis=-1)
+            rx = rx + kkt_ops.btmv(A, yo)
+            ry = kkt_ops.bmv(A, xo) - b
         else:
             ry = None
-            y_resid = jnp.zeros((B,), dtype)
-        rz = kkt_ops.bmv(G, x) + s - h
-        pri = y_resid + jnp.linalg.norm(rz, axis=-1)
-        dual = jnp.linalg.norm(rx, axis=-1)
-        if not fold:
-            return pri, dual, pri, dual
-        pri_o = jnp.linalg.norm(rz * w_rz, axis=-1)
+        rz = kkt_ops.bmv(G, xo) + so - h
+        pri_o = jnp.linalg.norm(rz, axis=-1)
         if neq > 0:
-            pri_o = pri_o + jnp.linalg.norm(ry * w_ry, axis=-1)
-        dual_o = jnp.linalg.norm(rx * w_rx, axis=-1)
-        return pri, dual, pri_o, dual_o
+            pri_o = pri_o + jnp.linalg.norm(ry, axis=-1)
+        dual_o = jnp.linalg.norm(rx, axis=-1)
+        if not scaled:
+            return pri_o, dual_o, pri_o, dual_o
+        pri_s = jnp.linalg.norm(rz * w_rz, axis=-1)
+        if neq > 0:
+            pri_s = pri_s + jnp.linalg.norm(ry * w_ry, axis=-1)
+        dual_s = jnp.linalg.norm(rx * w_rx, axis=-1)
+        return pri_s, dual_s, pri_o, dual_o
 
     def residuals(x, s, z, y):
-        """batch.py:94-107."""
-        rx = kkt_ops.bmv(Q, x) + p + kkt_ops.btmv(G, z)
+        """batch.py:94-107 — SCALED-coordinate residual vectors (they feed
+        the non-fast KKT solves' RHS) plus both coordinate systems' norms
+        (original norms by exact inverse weighting)."""
+        rx = kkt_ops.bmv(Qm, x) + p_ + kkt_ops.btmv(Gm, z)
         if neq > 0:
-            rx = rx + kkt_ops.btmv(A, y)
-            ry = kkt_ops.bmv(A, x) - b
+            rx = rx + kkt_ops.btmv(Am, y)
+            ry = kkt_ops.bmv(Am, x) - b_
             y_resid = jnp.linalg.norm(ry, axis=-1)
         else:
             ry = None
             y_resid = jnp.zeros((B,), dtype)
-        rz = kkt_ops.bmv(G, x) + s - h
+        rz = kkt_ops.bmv(Gm, x) + s - h_
         mu = jnp.abs((s * z).sum(axis=-1) / nineq)
         pri = y_resid + jnp.linalg.norm(rz, axis=-1)
         dual = jnp.linalg.norm(rx, axis=-1)
         resids = pri + dual + nineq * mu
-        return rx, rz, ry, mu, resids, pri, dual
+        if not scaled:
+            return rx, rz, ry, mu, resids, pri, dual, pri, dual
+        pri_o = jnp.linalg.norm(rz / w_rz, axis=-1)
+        if neq > 0:
+            pri_o = pri_o + jnp.linalg.norm(ry / w_ry, axis=-1)
+        dual_o = jnp.linalg.norm(rx / w_rx, axis=-1)
+        return rx, rz, ry, mu, resids, pri, dual, pri_o, dual_o
 
     def cond_fn(st: _IPMState):
         return jnp.logical_and(~st.done, st.it < config.max_iter)
@@ -682,15 +765,22 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                 lambda: (st.pri, st.dual, st.pri, st.dual))
             resids = pri + dual + nineq * mu
             rx = rz = ry = None
+        elif fast:
+            # Fast path scores against the ORIGINAL matrices (the scaled
+            # norms are elementwise weightings — see exact_pri_dual); the
+            # residual vectors are never needed (the predictor RHS folds
+            # into the cached products).
+            mu = jnp.abs((s * z).sum(axis=-1) / nineq)
+            pri, dual, pri_o, dual_o = exact_pri_dual(x, s, z, y)
+            resids = pri + dual + nineq * mu
+            rx = rz = ry = None
         else:
-            rx, rz, ry, mu, resids, pri, dual = residuals(x, s, z, y)
-            if fold:
-                pri_o = jnp.linalg.norm(rz * w_rz, axis=-1)
-                if neq > 0:
-                    pri_o = pri_o + jnp.linalg.norm(ry * w_ry, axis=-1)
-                dual_o = jnp.linalg.norm(rx * w_rx, axis=-1)
-        if fold:
+            (rx, rz, ry, mu, resids, pri, dual,
+             pri_o, dual_o) = residuals(x, s, z, y)
+        if scaled:
             resids_o = pri_o + dual_o + nineq * (mu / c_flat)
+        else:
+            resids_o = resids
 
         if config.verbose >= 1 and _runtime_supports_callbacks():
             jax.debug.print(
@@ -713,7 +803,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         best_resids = jnp.where(improved_strict, resids, st.best_resids)
         best_resids_o = (jnp.where(improved_strict, resids_o,
                                    st.best_resids_o)
-                         if fold else st.best_resids_o)
+                         if scaled else st.best_resids_o)
         imp_col = improved_strict[:, None]
         best_x = jnp.where(imp_col, x, st.best_x)
         best_s = jnp.where(imp_col, s, st.best_s)
@@ -920,24 +1010,17 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         # Exactly rescore the final iterate (its iterations since the last
         # checkpoint were never scored) and return it wherever it beats
         # the recorded checkpoint best — all reported residuals are exact.
-        y_arg = final.y if neq > 0 else None
-        rx_f, rz_f, ry_f, mu_f = kkt_ops.kkt_residuals(
-            Q, p, G, h, A, b, final.x, final.s, final.z, y_arg)
-        pri_f = jnp.linalg.norm(rz_f, axis=-1)
-        if neq > 0:
-            pri_f = pri_f + jnp.linalg.norm(ry_f, axis=-1)
-        score_f = pri_f + jnp.linalg.norm(rx_f, axis=-1) + nineq * mu_f
+        pri_f, dual_f, pri_fo, dual_fo = exact_pri_dual(
+            final.x, final.s, final.z, final.y)
+        mu_f = jnp.abs((final.s * final.z).sum(axis=-1) / nineq)
+        score_f = pri_f + dual_f + nineq * mu_f
         take1 = score_f < final.best_resids
         take = take1[:, None]
-        if fold:
-            pri_fo = jnp.linalg.norm(rz_f * w_rz, axis=-1)
-            if neq > 0:
-                pri_fo = pri_fo + jnp.linalg.norm(ry_f * w_ry, axis=-1)
-            score_fo = (pri_fo + jnp.linalg.norm(rx_f * w_rx, axis=-1)
-                        + nineq * (mu_f / c_flat))
+        if scaled:
+            score_fo = pri_fo + dual_fo + nineq * (mu_f / c_flat)
             best_o = jnp.where(take1, score_fo, final.best_resids_o)
         else:
-            best_o = final.best_resids_o
+            best_o = final.best_resids_o  # unused when not scaled
         final = final._replace(
             best_x=jnp.where(take, final.x, final.best_x),
             best_s=jnp.where(take, final.s, final.best_s),
@@ -949,17 +1032,20 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         )
 
     lo = None
-    if config.refine_steps > 0:
+    refined = config.refine_steps > 0
+    maps = ((m_x, m_s, m_z, m_y, w_rx, w_rz, w_ry, c_flat)
+            if scaled else None)
+    if refined:
         # Effective x64 state (respects jax.enable_x64(False)
         # scopes, unlike reading the global flag).
         x64_live = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
         if x64_live:
             final = _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
-                            kkt_factor_solve, kkt_solve, config)
+                            kkt_factor_solve, kkt_solve, config, maps=maps)
         else:
             final, lo = _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B,
                                    dtype, kkt_factor_solve, kkt_solve,
-                                   config)
+                                   config, maps=maps)
 
     # The reference prints INACC_ERR when the best residual exceeds 1
     # unless silenced with verbose < 0 (batch.py:141-142, 205-206) — same
@@ -978,10 +1064,12 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             lambda: None,
         )
 
-    if fold:
-        # Report original-coordinate stats: the best point's score from
-        # the fold, its mu by the elementwise identity
-        # s z = (s~ lam~) / c (see scaling.py's solution mapping).
+    # Stats are ALWAYS in original coordinates. When scaled: the refined
+    # paths score original directly; the in-loop path recorded the
+    # original-coordinate score at its exact scoring events, and the best
+    # point's mu comes from the elementwise identity s z = (s~ lam~)/c
+    # (see scaling.py's solution mapping).
+    if scaled and not refined:
         mu_best_o = (jnp.abs((final.best_s * final.best_z).sum(axis=-1))
                      / nineq / c_flat)
         stats = SolveStats(
@@ -997,9 +1085,16 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             mu=final.mu,
             converged=final.best_resids < config.eps,
         )
+
+    # Map the returned primal-dual point back to original coordinates
+    # (exact pow2 multiplies; identity when no scaling).
+    bx, bs_, bz, by = to_orig(final.best_x, final.best_s, final.best_z,
+                              final.best_y)
     from ..config import QPSolutionLow
 
-    lo_tuple = (QPSolutionLow(z=lo[0], nu=lo[3], lam=lo[2], s=lo[1])
-                if lo is not None else None)
-    return QPSolution(z=final.best_x, nu=final.best_y, lam=final.best_z,
-                      s=final.best_s, stats=stats, lo=lo_tuple)
+    lo_tuple = None
+    if lo is not None:
+        lx, ls, lz, ly = to_orig(lo[0], lo[1], lo[2], lo[3])
+        lo_tuple = QPSolutionLow(z=lx, nu=ly, lam=lz, s=ls)
+    return QPSolution(z=bx, nu=by, lam=bz, s=bs_, stats=stats,
+                      lo=lo_tuple)

@@ -90,16 +90,12 @@ class KKTFactors(NamedTuple):
     facQ: Optional[object] = None
     # --- Equilibration (scaling.Scaling). When set, every cached product
     # above is of the SCALED problem Q~ = c E Q E, G~ = R_G G E,
-    # A~ = R_A A E, and Qs/Gs/As hold the scaled matrices themselves (the
-    # IPM needs them for residual matvecs). The solve/backward transform
-    # vectors in and out of scaled coordinates (see scaling.py docstring).
+    # A~ = R_A A E. The scaled matrices themselves are NOT stored: the
+    # solver computes residuals against the ORIGINAL matrices and maps the
+    # norms between coordinate systems with the (exact, pow2) scaling
+    # weights, so full-size scaled copies never hit HBM (see pdipm.solve
+    # and scaling.py's docstring).
     scaling: Optional[object] = None
-    #: Scaled Q, (bQ, nz, nz); None when scaling is None.
-    Qs: Optional[jnp.ndarray] = None
-    #: Scaled G, (bG, nineq, nz); None when scaling is None.
-    Gs: Optional[jnp.ndarray] = None
-    #: Scaled A, (bA, neq, nz); None when scaling is None or neq == 0.
-    As: Optional[jnp.ndarray] = None
 
 
 def _spd_inv(M, use_pallas_kernels: bool):
@@ -181,6 +177,8 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
     ``inverse=True`` builds explicit Q^-1 / S11^-1 (see KKTFactors); the
     Schur products then use plain GEMMs instead of triangular solves.
     """
+    import jax
+
     GT = jnp.swapaxes(G, -1, -2)
     facQ = None
     if inverse:
@@ -196,7 +194,18 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
         invQ = None
         L_Q = cholesky(Q)
         invQ_GT = cho_solve(L_Q, GT)                # (b, nz, nineq)
-    G_invQ_GT = bmm(G, invQ_GT)                     # (b, nineq, nineq)
+    def _bmmT(XT, Y):
+        """X @ Y computed from the already-materialized transpose XT: when
+        X is a fused elementwise expression (equilibration's scaled G/A),
+        using X directly as a dot operand would materialize a SECOND
+        full-size copy — XT is the one transpose copy either way, so
+        contract against it (dots take arbitrary contracting dims)."""
+        if XT.shape[0] == Y.shape[0]:
+            return jnp.einsum("bnm,bnk->bmk", XT, Y,
+                              precision=jax.lax.Precision.HIGHEST)
+        return bmm(jnp.swapaxes(XT, -1, -2), Y)  # mixed batch: rare
+
+    G_invQ_GT = _bmmT(GT, invQ_GT)              # (b, nineq, nineq)
 
     if A is None:
         return KKTFactors(L_Q=L_Q, R=G_invQ_GT, L_S11=None, S21=None,
@@ -214,8 +223,9 @@ def pre_factor_kkt(Q, G, A, *, inverse: bool = False,
             invQ_AT = bmm(invQ, AT)
     else:
         invQ_AT = cho_solve(L_Q, AT)
-    S11 = bmm(A, invQ_AT)                           # (b, neq, neq) SPD
-    S21 = bmm(G, invQ_AT)                           # (b, nineq, neq)
+    # Same GT/AT reuse as above (no second materialization of scaled G/A).
+    S11 = _bmmT(AT, invQ_AT)                        # (b, neq, neq) SPD
+    S21 = _bmmT(GT, invQ_AT)                        # (b, nineq, neq)
     S21T = jnp.swapaxes(S21, -1, -2)
     if inverse:
         invS11 = _spd_inv(S11, use_pallas_kernels)

@@ -77,17 +77,25 @@ def _canonicalize(Q, p, G, h, A, b):
 
 def _build_factors(Qb, Gb, Ab, config: SolverConfig) -> kkt_ops.KKTFactors:
     """One-time prefactorization, optionally Ruiz-equilibrated first
-    (scaling.py). When equilibration is on, the factors — and the cached
-    scaled matrices Qs/Gs/As — are of the scaled problem, and the scaling
-    itself rides along in factors.scaling so repeated solves and the
-    backward pass transform consistently."""
+    (scaling.py). When equilibration is on, the factors are of the scaled
+    problem and the scaling rides along in factors.scaling so repeated
+    solves and the backward pass transform consistently; the scaled
+    matrices are never stored — their elementwise scale multiplies fuse
+    into the prefactor's first read of Q/G/A.
+
+    ``equilibrate="auto"`` additionally probes the data (ruiz_scalings'
+    ``probe``) and skips the norm sweeps entirely via lax.cond when the
+    problem is already well scaled — the common case pays ~one |Q|/|G|
+    read instead of ruiz_iters sweeps."""
     modes = kkt_ops.resolve_prefactor_modes(config, Qb.dtype)
     if scaling_mod.resolve_equilibrate(config, Qb.dtype):
-        sc, Qs, Gs, As = scaling_mod.ruiz_equilibrate(
+        sc = scaling_mod.ruiz_scalings(
             Qb, Gb, Ab, iters=config.ruiz_iters,
-            axis_name=config.axis_name)
-        return kkt_ops.pre_factor_kkt(Qs, Gs, As, **modes)._replace(
-            scaling=sc, Qs=Qs, Gs=Gs, As=As)
+            axis_name=config.axis_name,
+            probe=config.equilibrate == "auto")
+        return kkt_ops.pre_factor_kkt(
+            scaling_mod.scale_Q(Qb, sc), scaling_mod.scale_G(Gb, sc),
+            scaling_mod.scale_A(Ab, sc), **modes)._replace(scaling=sc)
     return kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
 
 
@@ -111,52 +119,14 @@ def _forward_batched(Qb, pb, Gb, hb, Ab, bb, config: SolverConfig,
     if config.solver == QPSolvers.PDIPM_BATCHED:
         if factors is None:
             factors = _build_factors(Qb, Gb, Ab, config)
-        sc = factors.scaling
-        if sc is None:
-            return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
-                               init=init), factors
-        # Equilibrated path: solve the scaled problem, return original
-        # coordinates. The power-of-two scalings make both transforms
-        # exact in floating point.
-        ps, hs, bs = scaling_mod.scale_vecs(pb, hb, bb, sc)
-        init_s = (scaling_mod.scale_point(*init, sc)
-                  if init is not None else None)
-        # Honest stats in ORIGINAL coordinates so best_resids/mu/converged
-        # mean the same thing with and without equilibration. Without
-        # refinement the solver folds them into its existing exact scoring
-        # events (elementwise residual weights — zero extra matrix reads);
-        # with refinement the refined point is rescored here instead.
-        folded = config.refine_steps == 0
-        unscale = None
-        if folded:
-            unscale = (1.0 / (sc.c * sc.E), 1.0 / sc.RG,
-                       (1.0 / sc.RA) if sc.RA is not None else None, sc.c)
-        sol = pdipm.solve(factors.Qs, ps, factors.Gs, hs, factors.As, bs,
-                          factors, config, init=init_s, unscale=unscale)
-        z, nu, lam, s = scaling_mod.unscale_solution(
-            sol.z, sol.nu, sol.lam, sol.s, sc)
-        lo = sol.lo
-        if lo is not None:
-            # Power-of-two scalings: the low words unscale by the same
-            # (exact) elementwise multiplies as the hi words.
-            z_lo, nu_lo, lam_lo, s_lo = scaling_mod.unscale_solution(
-                lo.z, lo.nu, lo.lam, lo.s, sc)
-            lo = lo._replace(z=z_lo, nu=nu_lo, lam=lam_lo, s=s_lo)
-        if folded:
-            sol = sol._replace(z=z, nu=nu, lam=lam, s=s, lo=lo)
-            return sol, factors
-        nineq = Gb.shape[-2]
-        y_arg = nu if (Ab is not None and nu.shape[-1] > 0) else None
-        rx_o, rz_o, ry_o, mu_o = kkt_ops.kkt_residuals(
-            Qb, pb, Gb, hb, Ab, bb, z, s, lam, y_arg)
-        score_o = (jnp.linalg.norm(rz_o, axis=-1)
-                   + jnp.linalg.norm(rx_o, axis=-1) + nineq * mu_o)
-        if ry_o is not None:
-            score_o = score_o + jnp.linalg.norm(ry_o, axis=-1)
-        stats = sol.stats._replace(best_resids=score_o, mu=mu_o,
-                                   converged=score_o < config.eps)
-        sol = sol._replace(z=z, nu=nu, lam=lam, s=s, lo=lo, stats=stats)
-        return sol, factors
+        # pdipm.solve handles equilibration internally (factors.scaling):
+        # it iterates in scaled coordinates but reads the ORIGINAL
+        # matrices for residual scoring and returns the solution, duals,
+        # and stats in original coordinates — scaled matrix copies never
+        # materialize. The power-of-two scalings make every coordinate
+        # transform exact in floating point.
+        return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, config,
+                           init=init), factors
     if config.solver == QPSolvers.CPU_ORACLE:
         return _oracle_forward(Qb, pb, Gb, hb, Ab, bb), None
     raise ValueError(config.solver)
@@ -250,7 +220,11 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     if sc is not None:
         d = d * (sc.c / (sc.RG * sc.RG))
         dl_dz = dl_dz * (sc.c * sc.E)
-        Gb, Ab = factors.Gs, factors.As
+        # Scaled G/A recomputed as fusable elementwise expressions (only
+        # the substitution-mode path below ever reads them; inverse mode
+        # touches no matrices in the backward).
+        Gb = scaling_mod.scale_G(Gb, sc)
+        Ab = scaling_mod.scale_A(Ab, sc)
 
     backend = kkt_ops.resolve_backend(config.use_pallas, dt,
                                       m=nineq, B=B)

@@ -124,20 +124,53 @@ def _wrowmax(aM, cw, b):
     return m
 
 
-def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
-                     axis_name=None):
-    """Compute Ruiz scalings and the scaled matrices.
+def scale_Q(Q, s: Scaling):
+    """Apply the scaling to Q: Q~ = c E Q E (exact: pow2 factors)."""
+    return Q * (s.c[..., None] * s.E[..., :, None] * s.E[..., None, :])
+
+
+def scale_G(G, s: Scaling):
+    """Apply the scaling to G: G~ = R_G G E."""
+    return G * (s.RG[..., :, None] * s.E[..., None, :])
+
+
+def scale_A(A, s: Scaling):
+    """Apply the scaling to A: A~ = R_A A E (None passes through)."""
+    if A is None:
+        return None
+    return A * (s.RA[..., :, None] * s.E[..., None, :])
+
+
+def ruiz_scalings(Q, G, A=None, iters: int = 4, pow2: bool = True,
+                  axis_name=None, probe: bool = False,
+                  probe_spread: float = 16.0) -> Scaling:
+    """Compute Ruiz scalings (NOT the scaled matrices — apply with
+    :func:`scale_Q`/:func:`scale_G`/:func:`scale_A`, whose elementwise
+    multiplies fuse into the consumers' first read).
 
     Q: (bQ, nz, nz) SPD; G: (bG, nineq, nz); A: (bA, neq, nz) or None —
     minimal batch dims as produced by qp._canonicalize.
-
-    Returns (scaling, Q_scaled, G_scaled, A_scaled); the scaled matrices
-    keep their input batch dims (see the batch-collapse rule above).
 
     ``axis_name``: when running inside shard_map with mixed-batch inputs,
     the batch-collapse reduction must span the GLOBAL batch (a local max
     would give each shard different scalings for the same shared matrix);
     collapsed norms are pmax'd over this axis.
+
+    ``probe``: one-iteration fast path for already-well-scaled data. When
+    the per-lane row/column norm spreads (max/min) are <= ``probe_spread``
+    and magnitudes sit inside [2^-32, 2^32], Ruiz converges in ONE
+    iteration (the norms are near-uniform; pow2 rounding makes further
+    sweeps exact no-ops — verified on the fail-soft fixture, identical
+    result at iters 1/2/4) — and that one iteration's scalings come
+    straight from the probe's norms, with the cost scalar approximated
+    from the same norms, so the light branch performs ZERO matrix reads
+    beyond the probe itself. Badly scaled data takes the full
+    ``iters``-sweep branch via ``lax.cond``. Well-scaled workloads (the
+    headline's random dense QPs) then pay ~one |Q|/|G| read instead of
+    ~3 ms of sweeps, while KEEPING the block-rebalancing benefit of
+    equilibration (scaling the Q block against the constraint norms is
+    what rescues borderline-factorizable f32 problems — a pure
+    skip-to-identity measurably loses it). Measured: PERF.md round 5.
     """
     dt = Q.dtype
     bQ, nz = Q.shape[0], Q.shape[-1]
@@ -155,55 +188,130 @@ def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
             return jax.lax.pmax(v, axis_name)
         return v
 
-    E = jnp.ones((b, nz), dt)
-    RG = jnp.ones((b, nineq), dt)
-    RA = jnp.ones((b, A.shape[-2]), dt) if A is not None else None
-
-    # Norm-only iterations: the scaled matrices are NEVER materialized in
-    # the loop. Each iteration needs only the row/column infinity norms of
-    # the currently-scaled KKT blocks, and with diagonal scalings those
-    # are weighted norms of the ORIGINAL data (|Qs_ij| = E_i |Q_ij| E_j,
+    # Norm-only computation: the scaled matrices are NEVER materialized.
+    # Each iteration needs only the row/column infinity norms of the
+    # currently-scaled KKT blocks, and with diagonal scalings those are
+    # weighted norms of the ORIGINAL data (|Qs_ij| = E_i |Q_ij| E_j,
     # |Gs_ij| = RG_i |G_ij| E_j) — computed by fused read-only passes.
-    # Materializing per iteration cost ~2 full read+write passes over
-    # (Q, G) per Ruiz step: ~3.6 ms of pure HBM traffic at the headline
-    # shape (B=4096, nz=m=100), i.e. ~8% of the whole solve. With pow2
-    # scalings the weighted norms (and the final one-shot application
-    # below) are bit-identical to the materializing loop.
+    # Materializing per iteration would cost ~2 full read+write passes
+    # over (Q, G) per Ruiz step: ~3.6 ms of pure HBM traffic at the
+    # headline shape (B=4096, nz=m=100). With pow2 scalings the weighted
+    # norms (and the one-shot application) are bit-identical to the
+    # materializing loop.
     aQ, aG = jnp.abs(Q), jnp.abs(G)
     aA = jnp.abs(A) if A is not None else None
-    for _ in range(iters):
-        # Column norms of the full KKT matrix per variable: the Q block's
-        # columns plus G's (and A's) columns.
-        cn = jnp.maximum(_wcolmax(aQ, E, b) * E, _wcolmax(aG, RG, b) * E)
-        if A is not None:
-            cn = jnp.maximum(cn, _wcolmax(aA, RA, b) * E)
-        cn = _gmax(cn)
-        dE = 1.0 / jnp.sqrt(_safe(cn))
-        dG = 1.0 / jnp.sqrt(_safe(_gmax(_wrowmax(aG, E, b) * RG)))
-        dA = (1.0 / jnp.sqrt(_safe(_gmax(_wrowmax(aA, E, b) * RA)))
-              if A is not None else None)
-        if pow2:
-            dE, dG = _pow2(dE), _pow2(dG)
-            dA = _pow2(dA) if dA is not None else None
-        E, RG = E * dE, RG * dG
-        RA = RA * dA if A is not None else None
 
-    # Cost normalization from Q alone (using p would make the scaling
-    # per-solve and per-lane, materializing shared matrices — see module
-    # docstring). Mean scaled-column norm of Q, as in OSQP's rho rule.
-    qn = _gmax(_wcolmax(aQ, E, b) * E).mean(axis=-1, keepdims=True)
-    c = 1.0 / _safe(qn)
-    if pow2:
-        c = _pow2(c)
-    # One-shot application (pow2 products are exact powers of two, so
-    # this equals the per-iteration application exactly). Left as fusable
-    # elementwise expressions: XLA folds the multiply into the consumers'
-    # first read of Q/G (the prefactor's lanes transpose, GT).
-    Qs = Q * (c[..., None] * E[..., :, None] * E[..., None, :])
-    Gs = G * (RG[..., :, None] * E[..., None, :])
-    As = A * (RA[..., :, None] * E[..., None, :]) if A is not None else None
-    scaling = Scaling(E=E, RG=RG, RA=RA, c=c)
-    return scaling, Qs, Gs, As
+    probe = probe and iters > 0
+
+    # First-iteration norms (unit scalings) — shared by the probe and the
+    # full branch's first step, so the probe read is never wasted.
+    caQ = _gmax(_colmax(aQ, b))
+    cn0 = jnp.maximum(caQ, _gmax(_colmax(aG, b)))
+    if A is not None:
+        cn0 = jnp.maximum(cn0, _gmax(_colmax(aA, b)))
+    rg0 = _gmax(_rowmax(aG, b))
+    ra0 = _gmax(_rowmax(aA, b)) if A is not None else None
+
+    def run_ruiz(_):
+        E = jnp.ones((b, nz), dt)
+        RG = jnp.ones((b, nineq), dt)
+        RA = jnp.ones((b, A.shape[-2]), dt) if A is not None else None
+        for k in range(iters):
+            if k == 0:
+                cn, rg, ra = cn0, rg0, ra0
+            else:
+                # Column norms of the full KKT matrix per variable: the Q
+                # block's columns plus G's (and A's) columns.
+                cn = jnp.maximum(_wcolmax(aQ, E, b) * E,
+                                 _wcolmax(aG, RG, b) * E)
+                if A is not None:
+                    cn = jnp.maximum(cn, _wcolmax(aA, RA, b) * E)
+                cn = _gmax(cn)
+                rg = _gmax(_wrowmax(aG, E, b) * RG)
+                ra = (_gmax(_wrowmax(aA, E, b) * RA)
+                      if A is not None else None)
+            dE = 1.0 / jnp.sqrt(_safe(cn))
+            dG = 1.0 / jnp.sqrt(_safe(rg))
+            dA = 1.0 / jnp.sqrt(_safe(ra)) if A is not None else None
+            if pow2:
+                dE, dG = _pow2(dE), _pow2(dG)
+                dA = _pow2(dA) if dA is not None else None
+            E, RG = E * dE, RG * dG
+            RA = RA * dA if A is not None else None
+
+        # Cost normalization from Q alone (using p would make the scaling
+        # per-solve and per-lane, materializing shared matrices — see
+        # module docstring). Mean scaled-column norm of Q, as in OSQP's
+        # rho rule.
+        qn = _gmax(_wcolmax(aQ, E, b) * E).mean(axis=-1, keepdims=True)
+        c = 1.0 / _safe(qn)
+        if pow2:
+            c = _pow2(c)
+        if A is None:
+            return E, RG, c
+        return E, RG, RA, c
+
+    if not probe:
+        out = run_ruiz(None)
+    else:
+        def light(_):
+            """One Ruiz iteration from the probe's norms — no matrix
+            reads. The cost scalar uses the column's own E as a proxy for
+            the (near-uniform, by the probe's precondition) row weight:
+            qn ~ mean(E^2 colmax|Q|), within the spread tolerance of the
+            exact read — and ANY pow2 c is applied and undone exactly."""
+            E1 = 1.0 / jnp.sqrt(_safe(cn0))
+            RG1 = 1.0 / jnp.sqrt(_safe(rg0))
+            RA1 = (1.0 / jnp.sqrt(_safe(ra0))) if A is not None else None
+            if pow2:
+                E1, RG1 = _pow2(E1), _pow2(RG1)
+                RA1 = _pow2(RA1) if RA1 is not None else None
+            qn = (E1 * E1 * caQ).mean(axis=-1, keepdims=True)
+            c1 = 1.0 / _safe(qn)
+            if pow2:
+                c1 = _pow2(c1)
+            if A is None:
+                return E1, RG1, c1
+            return E1, RG1, RA1, c1
+
+        def spread(v):
+            vs = _safe(v)
+            return (vs.max(axis=-1) / vs.min(axis=-1)).max()
+
+        norms = [cn0, rg0] + ([ra0] if A is not None else [])
+        ok = jnp.asarray(True)
+        hi = jnp.asarray(0.0, dt)
+        lo = jnp.asarray(jnp.inf, dt)
+        for v in norms:
+            ok = ok & (spread(v) <= probe_spread)
+            hi = jnp.maximum(hi, _safe(v).max())
+            lo = jnp.minimum(lo, _safe(v).min())
+        # Away from the exponent range edges only; scale fully there.
+        # (cn0/rg0/ra0 are already globally reduced, so ok is uniform
+        # across shards — no extra collective needed for the cond.)
+        ok = ok & (hi < 2.0 ** 32) & (lo > 2.0 ** -32)
+        out = jax.lax.cond(ok, light, run_ruiz, None)
+
+    if A is None:
+        E, RG, c = out
+        RA = None
+    else:
+        E, RG, RA, c = out
+    return Scaling(E=E, RG=RG, RA=RA, c=c)
+
+
+def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
+                     axis_name=None, probe: bool = False):
+    """Compute Ruiz scalings AND the scaled matrices (compat wrapper
+    around :func:`ruiz_scalings` + the scale_* appliers).
+
+    Returns (scaling, Q_scaled, G_scaled, A_scaled); the scaled matrices
+    keep their input batch dims (see the batch-collapse rule above).
+    """
+    scaling = ruiz_scalings(Q, G, A, iters=iters, pow2=pow2,
+                            axis_name=axis_name, probe=probe)
+    return (scaling, scale_Q(Q, scaling), scale_G(G, scaling),
+            scale_A(A, scaling))
 
 
 def scale_vecs(p, h, b, s: Scaling):

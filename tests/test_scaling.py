@@ -86,18 +86,30 @@ def test_gradient_invariance_f64(rng, wrt):
 
 
 def test_f32_accuracy_improves(rng):
-    Q, p, G, h, A, b = badly_scaled_qp(rng, nbatch=8, spread=3.0)
-    args64 = [jnp.asarray(x) for x in (Q, p, G, h, A, b)]
-    zref = np.asarray(solve_qp(*args64, config=SolverConfig()))
-    args32 = [jnp.asarray(x, jnp.float32) for x in (Q, p, G, h, A, b)]
-    e_plain = np.abs(np.asarray(
-        solve_qp(*args32, config=SolverConfig(equilibrate=False))) -
-        zref).max()
-    e_eq = np.abs(np.asarray(
-        solve_qp(*args32, config=SolverConfig(equilibrate=True))) -
-        zref).max()
-    # equilibration must not hurt and should materially help here
-    assert e_eq < e_plain
+    """Two regimes. Moderate scaling (10^±3): both arms reach the f32
+    plateau; equilibration must not materially hurt (strict ordering
+    there is rounding luck — measured across seeds it is a coin flip
+    within ~2x either way). Harsh scaling (10^±6): the unequilibrated f32
+    chain loses 3+ digits while the equilibrated one stays at the plateau
+    — equilibration must win by an order of magnitude."""
+    def errs(spread, seed):
+        r = np.random.RandomState(seed)
+        Q, p, G, h, A, b = badly_scaled_qp(r, nbatch=8, spread=spread)
+        args64 = [jnp.asarray(x) for x in (Q, p, G, h, A, b)]
+        zref = np.asarray(solve_qp(*args64, config=SolverConfig()))
+        args32 = [jnp.asarray(x, jnp.float32) for x in (Q, p, G, h, A, b)]
+        zs = np.abs(zref).max()
+        e_plain = np.abs(np.asarray(solve_qp(
+            *args32, config=SolverConfig(equilibrate=False))) - zref).max()
+        e_eq = np.abs(np.asarray(solve_qp(
+            *args32, config=SolverConfig(equilibrate=True))) - zref).max()
+        return e_plain / zs, e_eq / zs
+
+    e_plain, e_eq = errs(3.0, 7)
+    assert e_eq < 4.0 * e_plain  # no material harm at the plateau
+    for seed in (7, 8, 9):
+        e_plain, e_eq = errs(6.0, seed)
+        assert e_eq < 0.1 * e_plain, (seed, e_plain, e_eq)
 
 
 def test_batch_collapse_keeps_shared_matrices_shared(rng):
