@@ -97,10 +97,8 @@ def main(n=100, m=100, B=4096):
 
     variants = [
         ("equilibrate=False", dict(equilibrate=False)),
-        ("ruiz_iters=0 (plumbing)", dict(ruiz_iters=0)),
-        ("ruiz_iters=1", dict(ruiz_iters=1)),
-        ("ruiz_iters=2", dict(ruiz_iters=2)),
-        ("ruiz_iters=4 (default)", dict()),
+        ("auto (probe+light)", dict()),
+        ("forced True (full ruiz)", dict(equilibrate=True)),
     ]
     for name, kw in variants:
         cfg = qpth_tpu.SolverConfig(check_Q_spd=False, **kw)

@@ -174,12 +174,28 @@ class SolverConfig:
     #: cost is refine_steps * (3 f64 matvecs + 1 f32 factor+solve pair).
     #: SURVEY §7 hard-part 1's mitigation; anchor: the reference achieves
     #: its accuracy by running f64 end-to-end (reference test.py:69-96).
-    #: Applies to the dense path (solve_qp / QPFunction); the structured
-    #: tiers (solve_qp_diag / solve_qp_banded) ignore it — their smaller
-    #: factored systems already sit 1-2 orders of magnitude below the
-    #: dense f32 plateau (see PERF.md), and full-f64 runs remain
-    #: available for them on CPU.
-    refine_steps: int = 0
+    #: Applies to the dense path (solve_qp / QPFunction) and, as post-loop
+    #: Newton-IR, to the banded/general structured tiers.
+    #:
+    #: "auto" (default): accuracy is a dial driven by ``eps`` — the
+    #: reference's accuracy knob (qp.py:18). At float64, 0 (the f64 IPM
+    #: already meets the reference's accuracy contract). Below float64:
+    #: eps > 1e-6 -> 0 (the plain f32 plateau suffices); explicit
+    #: eps in [1e-7, 1e-6] -> budget 6; eps in [1e-11, 1e-7) -> budget 12
+    #: (the measured parity-gate setting, PERF.md) — in both cases with
+    #: EARLY EXIT: refinement stops as soon as a step no longer contracts
+    #: the global residual score by >= 2x (converged problems pay 1-2
+    #: steps of the budget, conditioning-limited ones stop instead of
+    #: burning the budget on a plateau). eps < 1e-11 (including the
+    #: reference-default 1e-12) is treated as the reference's
+    #: run-to-improvement-window SENTINEL, not an accuracy demand — the
+    #: reference's own eps=1e-12 never fires as a threshold (f64 residuals
+    #: bottom out ~1e-10; it exists to disable eps-termination) — so auto
+    #: refinement stays off and ``QPFunction()`` keeps headline
+    #: throughput. ``QPFunction(eps=1e-8)`` therefore "just works" at the
+    #: BASELINE <=1e-8 parity gate while the default stays fast.
+    #: An explicit integer runs exactly that many steps (no early exit).
+    refine_steps: int | str = "auto"
     #: Ruiz equilibration of the problem data (scaling.py): "auto" = on
     #: below float64 (f32 factorizations need the conditioning help; the
     #: power-of-two scalings add zero rounding error), off at float64
@@ -209,6 +225,25 @@ class SolverConfig:
     def __post_init__(self):
         if self.broadcast_grad_reduction not in ("sum", "mean"):
             raise ValueError("broadcast_grad_reduction must be 'sum' or 'mean'")
+        if self.refine_steps != "auto" and not isinstance(
+                self.refine_steps, int):
+            raise ValueError("refine_steps must be an int or 'auto'")
+
+
+def resolve_refine_steps(config: "SolverConfig", dtype) -> tuple[int, bool]:
+    """Resolve ``SolverConfig.refine_steps`` to ``(budget, early_exit)``
+    for a working dtype — the auto policy documented on the field."""
+    rs = config.refine_steps
+    if rs != "auto":
+        return int(rs), False
+    import numpy as np
+
+    if np.dtype(dtype).itemsize >= 8:
+        return 0, False
+    eps = config.eps
+    if eps < 1e-11 or eps > 1e-6:
+        return 0, False
+    return (6 if eps >= 1e-7 else 12), True
 
 
 class SolveStats(NamedTuple):

@@ -730,7 +730,10 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
 
     final = lax.while_loop(cond_fn, body_fn, state)
 
-    if config.refine_steps > 0:
+    from ..config import resolve_refine_steps
+
+    refine_budget, _ = resolve_refine_steps(config, dtype)
+    if refine_budget > 0:
         # Post-loop linear KKT iterative refinement (same scheme as the
         # dense tier's _refine_dw, single-word residuals): full Newton
         # steps toward mu = 0 with the complementarity diagonal clamped
@@ -750,7 +753,7 @@ def solve_banded(Qd, Qe, p, g, h, A, b, config: SolverConfig,
         _, _, _, bmu, bscore = residuals(bx, bs_v, bz, by)
         x, s, z, y = bx, bs_v, bz, by
         best = (bx, bs_v, bz, by, bscore, bmu)
-        for _ in range(config.refine_steps):
+        for _ in range(refine_budget):
             rx, rz, ry, mu, _ = residuals(x, s, z, y)
             s_hat = jnp.maximum(s, rc)
             d_r = jnp.maximum(z, rc) / s_hat

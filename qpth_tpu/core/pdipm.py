@@ -93,7 +93,7 @@ class _IPMState(NamedTuple):
 
 def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
                kkt_factor_solve, kkt_solve, config: SolverConfig,
-               maps=None):
+               maps=None, steps: int = 0, early_exit: bool = False):
     """Pure-float32 mixed-precision refinement via double-word arithmetic
     (ops/dw.py): the x64-free twin of :func:`_refine`, so accuracy mode
     runs ON TPU with the Pallas kernels live (Mosaic cannot compile under
@@ -173,7 +173,8 @@ def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
         rc = 1e-5  # f32 auto: caps cond(T) at ~1e5 * |R| so the f32
         # factor still contracts on (near-)singular-R problems.
     c = jnp.asarray(rc, dtype)
-    for _ in range(config.refine_steps):
+
+    def step_once(x, s, z, y, best):
         rx, rz, ry, mu, _ = score_dw(x, s, z, y)
         s_hat = jnp.maximum(s.hi, c)
         d = jnp.maximum(z.hi, c) / s_hat
@@ -212,6 +213,33 @@ def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
                 dw.dw_where(take, y, best[3]) if neq > 0 else best[3],
                 jnp.minimum(score_n, best[4]),
                 jnp.where(take[:, 0], mu_n, best[5]))
+        return x, s, z, y, best, score_n
+
+    if not early_exit:
+        for _ in range(steps):
+            x, s, z, y, best, _ = step_once(x, s, z, y, best)
+    else:
+        # Auto-budget mode: stop as soon as a step no longer contracts
+        # the global residual score by >= 2x (converged problems pay 1-2
+        # steps; conditioning-limited lanes stop instead of burning the
+        # budget on a plateau). The predicate is globally reduced, so it
+        # is uniform across shards.
+        axis = config.axis_name
+        inf = jnp.asarray(jnp.inf, dtype)
+
+        def cond_fn(st):
+            k, _, _, _, _, _, prev_m, cur_m = st
+            return (k < steps) & ((k == 0) | (cur_m < 0.5 * prev_m))
+
+        def body_fn(st):
+            k, x, s, z, y, best, prev_m, cur_m = st
+            x, s, z, y, best, score_n = step_once(x, s, z, y, best)
+            new_m = _greduce(score_n.max(), "max", axis)
+            return (k + 1, x, s, z, y, best, cur_m, new_m)
+
+        st0 = (jnp.zeros((), jnp.int32), x, s, z, y, best, inf,
+               _greduce(best[4].max(), "max", config.axis_name))
+        _, x, s, z, y, best, _, _ = lax.while_loop(cond_fn, body_fn, st0)
 
     bx, bs, bz, by = best[0], best[1], best[2], best[3]
     final = final._replace(best_x=bx.hi, best_s=bs.hi, best_z=bz.hi,
@@ -221,7 +249,8 @@ def _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
 
 
 def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
-            kkt_factor_solve, kkt_solve, config: SolverConfig, maps=None):
+            kkt_factor_solve, kkt_solve, config: SolverConfig, maps=None,
+            steps: int = 0, early_exit: bool = False):
     """Mixed-precision refinement (SolverConfig.refine_steps): extra
     Mehrotra iterations with float64 residuals and working-dtype solves.
 
@@ -286,7 +315,8 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
         rc = 1e-10  # f64 auto (wd solves are f32 when inputs are f32,
         # but the f64 residuals keep the fixed point exact either way)
     c = jnp.asarray(rc, f64)
-    for _ in range(config.refine_steps):
+
+    def step_once(x, s, z, y, best):
         rx, rz, ry, mu, _ = score64(x, s, z, y)
         s_hat = jnp.maximum(s, c)
         d32 = (jnp.maximum(z, c) / s_hat).astype(wd)
@@ -317,6 +347,29 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
                 jnp.where(take, y, best[3]) if neq > 0 else best[3],
                 jnp.minimum(score_n, best[4]),
                 jnp.where(take[:, 0], mu_n, best[5]))
+        return x, s, z, y, best, score_n
+
+    if not early_exit:
+        for _ in range(steps):
+            x, s, z, y, best, _ = step_once(x, s, z, y, best)
+    else:
+        # Same auto-budget early exit as _refine_dw.
+        axis = config.axis_name
+        inf = jnp.asarray(jnp.inf, f64)
+
+        def cond_fn(st):
+            k, _, _, _, _, _, prev_m, cur_m = st
+            return (k < steps) & ((k == 0) | (cur_m < 0.5 * prev_m))
+
+        def body_fn(st):
+            k, x, s, z, y, best, prev_m, cur_m = st
+            x, s, z, y, best, score_n = step_once(x, s, z, y, best)
+            new_m = _greduce(score_n.max(), "max", axis)
+            return (k + 1, x, s, z, y, best, cur_m, new_m)
+
+        st0 = (jnp.zeros((), jnp.int32), x, s, z, y, best, inf,
+               _greduce(best[4].max(), "max", config.axis_name))
+        _, x, s, z, y, best, _, _ = lax.while_loop(cond_fn, body_fn, st0)
 
     return final._replace(best_x=best[0], best_s=best[1], best_z=best[2],
                           best_y=best[3], best_resids=best[4], mu=best[5])
@@ -1032,7 +1085,10 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         )
 
     lo = None
-    refined = config.refine_steps > 0
+    from ..config import resolve_refine_steps
+
+    refine_budget, refine_early = resolve_refine_steps(config, dtype)
+    refined = refine_budget > 0
     maps = ((m_x, m_s, m_z, m_y, w_rx, w_rz, w_ry, c_flat)
             if scaled else None)
     if refined:
@@ -1041,11 +1097,13 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         x64_live = jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
         if x64_live:
             final = _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
-                            kkt_factor_solve, kkt_solve, config, maps=maps)
+                            kkt_factor_solve, kkt_solve, config, maps=maps,
+                            steps=refine_budget, early_exit=refine_early)
         else:
             final, lo = _refine_dw(final, Q, p, G, h, A, b, neq, nineq, B,
                                    dtype, kkt_factor_solve, kkt_solve,
-                                   config, maps=maps)
+                                   config, maps=maps, steps=refine_budget,
+                                   early_exit=refine_early)
 
     # The reference prints INACC_ERR when the best residual exceeds 1
     # unless silenced with verbose < 0 (batch.py:141-142, 205-206) — same

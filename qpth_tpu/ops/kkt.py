@@ -136,6 +136,19 @@ def _spd_inv(M, use_pallas_kernels: bool):
     return cho_solve(cholesky(M), eye)
 
 
+def uses_explicit_inverse(B: int, n: int, use_pallas_kernels: bool) -> bool:
+    """Static predicate: does inverse-mode prefactorization represent
+    Q^-1 explicitly (lanes regime) rather than as a blocked factor
+    (hybrid regime)? Single source of truth for ``_q_rep``'s branch."""
+    import jax
+
+    from .pallas.lanes import lanes_supported
+
+    interp = jax.default_backend() != "tpu"
+    return not (use_pallas_kernels and not interp and B >= 8
+                and not (lanes_supported(n, B) and B % 128 == 0))
+
+
 def _q_rep(Q, use_pallas_kernels: bool):
     """Inverse-mode representation of Q^-1: (invQ, facQ), exactly one set.
 
@@ -146,13 +159,7 @@ def _q_rep(Q, use_pallas_kernels: bool):
     the explicit inverse's extra triangular inversion + full nz^3
     HIGHEST gram are never paid."""
     B, n = Q.shape[0], Q.shape[-1]
-    import jax
-
-    from .pallas.lanes import lanes_supported
-
-    interp = jax.default_backend() != "tpu"
-    if (use_pallas_kernels and not interp and B >= 8
-            and not (lanes_supported(n, B) and B % 128 == 0)):
+    if not uses_explicit_inverse(B, n, use_pallas_kernels):
         from .hybrid import factor_hybrid
 
         return None, factor_hybrid(Q)

@@ -89,13 +89,38 @@ def _build_factors(Qb, Gb, Ab, config: SolverConfig) -> kkt_ops.KKTFactors:
     read instead of ruiz_iters sweeps."""
     modes = kkt_ops.resolve_prefactor_modes(config, Qb.dtype)
     if scaling_mod.resolve_equilibrate(config, Qb.dtype):
-        sc = scaling_mod.ruiz_scalings(
+        probe = config.equilibrate == "auto"
+        light_ok = (probe and modes.get("inverse", False)
+                    and kkt_ops.uses_explicit_inverse(
+                        Qb.shape[0], Qb.shape[-1],
+                        modes.get("use_pallas_kernels", False)))
+        sc, ok = scaling_mod.ruiz_scalings(
             Qb, Gb, Ab, iters=config.ruiz_iters,
-            axis_name=config.axis_name,
-            probe=config.equilibrate == "auto")
-        return kkt_ops.pre_factor_kkt(
-            scaling_mod.scale_Q(Qb, sc), scaling_mod.scale_G(Gb, sc),
-            scaling_mod.scale_A(Ab, sc), **modes)._replace(scaling=sc)
+            axis_name=config.axis_name, probe=probe, return_ok=True)
+
+        def scaled_prefactor(_):
+            return kkt_ops.pre_factor_kkt(
+                scaling_mod.scale_Q(Qb, sc), scaling_mod.scale_G(Gb, sc),
+                scaling_mod.scale_A(Ab, sc), **modes)
+
+        if not light_ok:
+            return scaled_prefactor(None)._replace(scaling=sc)
+
+        # Probe-positive fast path: prefactor the ORIGINAL matrices and
+        # weight the cached products into scaled coordinates (exact pow2
+        # weightings that fuse into the producing dots' epilogues) — no
+        # scaled matrix copy ever materializes. Probe-negative data takes
+        # the scale-inputs-first branch, which keeps the over/underflow
+        # protection badly-scaled problems need. The runtime executes
+        # only the taken branch.
+        def light_prefactor(_):
+            f = kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
+            return scaling_mod.scale_factors_inverse_mode(f, sc)
+
+        import jax
+
+        f = jax.lax.cond(ok, light_prefactor, scaled_prefactor, None)
+        return f._replace(scaling=sc)
     return kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
 
 

@@ -143,7 +143,7 @@ def scale_A(A, s: Scaling):
 
 def ruiz_scalings(Q, G, A=None, iters: int = 4, pow2: bool = True,
                   axis_name=None, probe: bool = False,
-                  probe_spread: float = 16.0) -> Scaling:
+                  probe_spread: float = 16.0, return_ok: bool = False):
     """Compute Ruiz scalings (NOT the scaled matrices — apply with
     :func:`scale_Q`/:func:`scale_G`/:func:`scale_A`, whose elementwise
     multiplies fuse into the consumers' first read).
@@ -286,10 +286,12 @@ def ruiz_scalings(Q, G, A=None, iters: int = 4, pow2: bool = True,
             ok = ok & (spread(v) <= probe_spread)
             hi = jnp.maximum(hi, _safe(v).max())
             lo = jnp.minimum(lo, _safe(v).min())
-        # Away from the exponent range edges only; scale fully there.
-        # (cn0/rg0/ra0 are already globally reduced, so ok is uniform
-        # across shards — no extra collective needed for the cond.)
-        ok = ok & (hi < 2.0 ** 32) & (lo > 2.0 ** -32)
+        # Comfortably inside the exponent range only (the light path's
+        # caller may factor the UNSCALED data and weight the outputs —
+        # valid exactly when no intermediate over/underflows); scale fully
+        # near the edges. (cn0/rg0/ra0 are already globally reduced, so ok
+        # is uniform across shards — no extra collective for the cond.)
+        ok = ok & (hi < 2.0 ** 10) & (lo > 2.0 ** -10)
         out = jax.lax.cond(ok, light, run_ruiz, None)
 
     if A is None:
@@ -297,7 +299,10 @@ def ruiz_scalings(Q, G, A=None, iters: int = 4, pow2: bool = True,
         RA = None
     else:
         E, RG, RA, c = out
-    return Scaling(E=E, RG=RG, RA=RA, c=c)
+    sc = Scaling(E=E, RG=RG, RA=RA, c=c)
+    if return_ok:
+        return sc, (ok if probe else None)
+    return sc
 
 
 def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
@@ -312,6 +317,54 @@ def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
                             axis_name=axis_name, probe=probe)
     return (scaling, scale_Q(Q, scaling), scale_G(G, scaling),
             scale_A(A, scaling))
+
+
+def scale_factors_inverse_mode(f, s: Scaling):
+    """Map an UNSCALED inverse-mode prefactorization (kkt.KKTFactors of
+    the original problem, invQ set) to the scaled problem's factors by
+    exact elementwise weighting of each cached product.
+
+    Identity used: every cached product of the scaled problem is an exact
+    diagonal weighting of the unscaled one —
+
+        Q~^-1        = (1/c) E^-1 Q^-1 E^-1
+        Q~^-1 G~^T   = (1/c) E^-1 (Q^-1 G^T) R_G
+        G~ Q~^-1 G~^T= (1/c) R_G (G Q^-1 G^T) R_G      (R likewise)
+        S21~         = (1/c) R_G (G Q^-1 A^T) R_A
+        S11~         = (1/c) R_A (A Q^-1 A^T) R_A
+        S11~^-1      =   c   R_A^-1 S11^-1 R_A^-1
+        W~           = R_A^-1 W R_G
+
+    and with power-of-two scalings each weighting is EXACT, while the
+    computations themselves are numerically equivalent (diagonal pow2
+    scaling rescales every intermediate of the factorization chain by the
+    same exact factors — the classical scaling-invariance of Cholesky).
+    The weightings fuse into the producing dots' epilogues, so — unlike
+    scaling the input matrices, which XLA materializes in one layout per
+    consumer — this costs no extra HBM traffic. Valid only when the
+    unscaled chain cannot over/underflow (the probe's magnitude gate).
+    """
+    iE = 1.0 / s.E
+    ic = (1.0 / s.c)[..., None]          # (b, 1, 1) — the 1/c weight
+    out = f._replace(
+        invQ=f.invQ * (ic * iE[..., :, None] * iE[..., None, :]),
+        invQ_GT=f.invQ_GT * (ic * iE[..., :, None] * s.RG[..., None, :]),
+        GiGT=f.GiGT * (ic * s.RG[..., :, None] * s.RG[..., None, :]),
+        R=f.R * (ic * s.RG[..., :, None] * s.RG[..., None, :]),
+    )
+    if f.S21 is not None:
+        iRA = 1.0 / s.RA
+        cc = s.c[..., None]              # (b, 1, 1)
+        out = out._replace(
+            invQ_AT=f.invQ_AT * (ic * iE[..., :, None]
+                                 * s.RA[..., None, :]),
+            S21=f.S21 * (ic * s.RG[..., :, None] * s.RA[..., None, :]),
+            S11=f.S11 * (ic * s.RA[..., :, None] * s.RA[..., None, :]),
+            invS11=f.invS11 * (cc * iRA[..., :, None]
+                               * iRA[..., None, :]),
+            W=f.W * (iRA[..., :, None] * s.RG[..., None, :]),
+        )
+    return out
 
 
 def scale_vecs(p, h, b, s: Scaling):
