@@ -221,6 +221,22 @@ class SolverConfig:
     #: back-solve on the cached factorization and is accepted per-lane
     #: only when it lengthens the step. 0 = reference behavior.
     n_correctors: int = 0
+    #: Escalation hook for conditioning-limited lanes (VERDICT r4 #6):
+    #: after the loop (and refinement), lanes whose original-coordinate
+    #: residual score still exceeds ``escalate_tol`` are re-solved by a
+    #: stronger fallback. "oracle" = per-lane float64 CPU solve through a
+    #: host callback (only the failing lanes are solved host-side; needs
+    #: a callback-capable runtime — works on CPU and standard TPU
+    #: runtimes, a no-op marking ``stats.escalated`` under the axon
+    #: tunnel). None = off (default; pure-device semantics). The f32
+    #: factorization chain genuinely cannot solve cond >~ 1/eps_f32
+    #: problems — dw residuals don't help when the FACTOR is the garbage
+    #: part (IR contraction ~ cond * eps_f32 >= 1) — so the honest
+    #: escalation is a higher-precision solve, which on TPU means the
+    #: host (the reference runs f64 everywhere; test.py:69-96).
+    escalate: str | None = None
+    #: Residual-score threshold above which a lane escalates.
+    escalate_tol: float = 1e-4
 
     def __post_init__(self):
         if self.broadcast_grad_reduction not in ("sum", "mean"):
@@ -261,6 +277,11 @@ class SolveStats(NamedTuple):
     mu: jax.Array
     #: Per-lane convergence flag: best_resids < eps.
     converged: jax.Array
+    #: Per-lane escalation flag (SolverConfig.escalate): True where the
+    #: lane's score exceeded escalate_tol after the loop + refinement —
+    #: i.e. where the fallback solve ran (or would have run, on runtimes
+    #: without host callbacks). None when escalation is off.
+    escalated: Optional[jax.Array] = None
 
 
 class QPSolutionLow(NamedTuple):

@@ -375,6 +375,119 @@ def _refine(final, Q, p, G, h, A, b, neq, nineq, B, dtype,
                           best_y=best[3], best_resids=best[4], mu=best[5])
 
 
+def _escalate_oracle(esc, x, s, z, y, lo_tuple, stats, Q, p, G, h, A, b,
+                     neq, nineq, B, dtype, config: SolverConfig):
+    """Escalate conditioning-limited lanes to the float64 CPU oracle
+    (SolverConfig.escalate="oracle"): only the lanes whose post-refine
+    original-coordinate score exceeds escalate_tol are solved host-side;
+    healthy lanes never leave the device. The merged point is exactly
+    rescored so stats stay honest, and per-lane success is reported in
+    ``stats.escalated`` (the attempt mask — a lane the oracle also fails
+    on keeps its device-side best iterate). The f64 re-solve is the
+    honest fallback for cond >~ 1/eps_f32 problems, where every
+    f32-factorization path is out of digits (the reference's whole
+    pipeline is f64, test.py:69-96)."""
+    import numpy as np
+
+    np_dt = np.dtype(dtype)
+
+    def host(esc_m, Q_, p_, G_, h_, A_=None, b_=None):
+        from ..solvers.oracle import solve_qp_np
+
+        esc_m = np.asarray(esc_m)
+        Bn, n = p_.shape
+        m = h_.shape[-1]
+        # Double-word outputs: a single f32 word cannot even REPRESENT
+        # the f64 solution (e.g. |x| ~ 2e4 rounds at ~1e-3 absolute), so
+        # the hi/lo split carries the f64 answer exactly like the dw
+        # refinement path does.
+        hi = {k: np.zeros((Bn, d), np_dt)
+              for k, d in (("x", n), ("s", m), ("z", m), ("y", neq))}
+        lo = {k: np.zeros_like(v) for k, v in hi.items()}
+        score = np.full((Bn,), np.inf, np_dt)
+        mu_o = np.zeros((Bn,), np_dt)
+        ok = np.zeros((Bn,), np.bool_)
+        for i in np.nonzero(esc_m)[0]:
+            Qi = (Q_[i] if Q_.shape[0] > 1 else Q_[0]).astype(np.float64)
+            Gi = (G_[i] if G_.shape[0] > 1 else G_[0]).astype(np.float64)
+            Ai = ((A_[i] if A_.shape[0] > 1 else A_[0]).astype(np.float64)
+                  if A_ is not None else None)
+            bi = b_[i].astype(np.float64) if b_ is not None else None
+            pi = p_[i].astype(np.float64)
+            hh = h_[i].astype(np.float64)
+            try:
+                _, xi, nui, lami, si = solve_qp_np(Qi, pi, Gi, hh, Ai, bi)
+            except Exception:
+                continue
+            if not np.isfinite(xi).all():
+                continue
+            vals = {"x": xi, "s": si, "z": lami,
+                    "y": (nui if (neq > 0 and nui is not None)
+                          else np.zeros(neq))}
+            for k, v in vals.items():
+                hi[k][i] = v.astype(np_dt)
+                lo[k][i] = (v - hi[k][i].astype(np.float64)).astype(np_dt)
+            # Exact f64 score of the exact solution (the merged device
+            # arrays are its f32 rounding; scoring those would report the
+            # representation error, not the solve error).
+            rx = Qi @ xi + pi + Gi.T @ lami
+            rz = Gi @ xi + si - hh
+            sc = (np.linalg.norm(rz) + np.linalg.norm(rx)
+                  + abs(si @ lami))
+            if Ai is not None:
+                rx_eq = Ai.T @ vals["y"]
+                sc = (np.linalg.norm(rz)
+                      + np.linalg.norm(rx + rx_eq)
+                      + np.linalg.norm(Ai @ xi - bi) + abs(si @ lami))
+            score[i] = sc
+            mu_o[i] = abs(si @ lami) / m
+            ok[i] = True
+        return (hi["x"], lo["x"], hi["s"], lo["s"], hi["z"], lo["z"],
+                hi["y"], lo["y"], score, mu_o, ok)
+
+    sd = jax.ShapeDtypeStruct
+    n = p.shape[-1]
+    out_shape = (sd((B, n), dtype), sd((B, n), dtype),
+                 sd((B, nineq), dtype), sd((B, nineq), dtype),
+                 sd((B, nineq), dtype), sd((B, nineq), dtype),
+                 sd((B, neq), dtype), sd((B, neq), dtype),
+                 sd((B,), dtype), sd((B,), dtype),
+                 sd((B,), jnp.bool_))
+    args = (esc, Q, p, G, h) + ((A, b) if neq > 0 else ())
+    (xo, xl, so, sl, zo, zl, yo, yl,
+     sc_o, mu_esc, ok) = jax.pure_callback(host, out_shape, *args)
+
+    take1 = esc & ok
+    take = take1[:, None]
+    x = jnp.where(take, xo, x)
+    s = jnp.where(take, so, s)
+    z = jnp.where(take, zo, z)
+    if neq > 0:
+        y = jnp.where(take, yo, y)
+    # Escalated lanes come back double-word (a single f32 word cannot
+    # represent the f64 answer: |x| ~ 1e4 rounds at ~1e-3 absolute);
+    # merge their low words into the lo channel.
+    from ..config import QPSolutionLow
+
+    if lo_tuple is None:
+        lo_tuple = QPSolutionLow(
+            z=jnp.where(take, xl, 0.0), nu=jnp.where(take, yl, 0.0),
+            lam=jnp.where(take, zl, 0.0), s=jnp.where(take, sl, 0.0))
+    else:
+        lo_tuple = QPSolutionLow(
+            z=jnp.where(take, xl, lo_tuple.z),
+            nu=(jnp.where(take, yl, lo_tuple.nu)
+                if neq > 0 else lo_tuple.nu),
+            lam=jnp.where(take, zl, lo_tuple.lam),
+            s=jnp.where(take, sl, lo_tuple.s))
+    stats = stats._replace(
+        best_resids=jnp.where(take1, sc_o, stats.best_resids),
+        mu=jnp.where(take1, mu_esc, stats.mu),
+        converged=jnp.where(take1, sc_o < config.eps, stats.converged),
+        escalated=esc)
+    return x, s, z, y, lo_tuple, stats
+
+
 def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
           config: SolverConfig, init=None) -> QPSolution:
     """Run the batched IPM. Matrix params carry minimal batch dims
@@ -1154,5 +1267,19 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     if lo is not None:
         lx, ls, lz, ly = to_orig(lo[0], lo[1], lo[2], lo[3])
         lo_tuple = QPSolutionLow(z=lx, nu=ly, lam=lz, s=ls)
+
+    if config.escalate is not None:
+        if config.escalate != "oracle":
+            raise ValueError(f"escalate: {config.escalate!r}")
+        esc = stats.best_resids > config.escalate_tol
+        if _runtime_supports_callbacks():
+            bx, bs_, bz, by, lo_tuple, stats = _escalate_oracle(
+                esc, bx, bs_, bz, by, lo_tuple, stats, Q, p, G, h, A, b,
+                neq, nineq, B, dtype, config)
+        else:
+            # No host callbacks on this runtime (the axon tunnel): flag
+            # the lanes that need escalation so the caller can act.
+            stats = stats._replace(escalated=esc)
+
     return QPSolution(z=bx, nu=by, lam=bz, s=bs_, stats=stats,
                       lo=lo_tuple)

@@ -536,6 +536,12 @@ def resolve_backend(use_pallas, dtype=None, m=None, B=None) -> KKTBackend:
     import jax
     import numpy as np
 
+    if use_pallas == "hybrid_xla":
+        # Pallas-free blocked hybrid (the TP path) — usable under any
+        # dtype/x64 state since it contains no pallas_call.
+        from .hybrid import hybrid_backend
+
+        return hybrid_backend(interpret=True)
     if dtype is not None and np.dtype(dtype) != np.float32:
         return xla_backend()
     if not pallas_hw_ok():
@@ -599,7 +605,10 @@ def resolve_prefactor_modes(config, dtype=None) -> dict:
             "the lanes Pallas backend applies Q/S11 via explicit inverses; "
             "solve_method='subst' requires use_pallas in (False, 'xla', "
             "'blocked')")
-    return dict(inverse=inverse, use_pallas_kernels=bool(use_pallas))
+    # "hybrid_xla" (the TP path): inverse-mode cached products, but the
+    # prefactor itself must stay pallas-free so GSPMD can partition it.
+    kernels = bool(use_pallas) and use_pallas != "hybrid_xla"
+    return dict(inverse=inverse, use_pallas_kernels=kernels)
 
 
 def transpose_factors(factors: KKTFactors) -> KKTFactors:

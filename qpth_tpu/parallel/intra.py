@@ -80,6 +80,78 @@ def prefactor_qp_tp(Q, G, A=None, *, mesh: Mesh,
         return jax.jit(build)(*args)
 
 
+def solve_qp_tp(Q, p, G, h, A=None, b=None, *, mesh: Mesh,
+                batch_axis: str = "batch", model_axis: str = "model",
+                config: SolverConfig = DEFAULT_CONFIG, init=None):
+    """END-TO-END tensor-parallel IPM solve: the whole solve — TP
+    prefactor, every per-iteration ``T = R + diag(1/d)`` blocked
+    factorization, both per-iteration solves, and the backsubstitutions —
+    runs model-sharded under a ("batch", "model") mesh. This is the path
+    for FEW HUGE QPs (B < n_devices), where batch sharding alone leaves
+    devices idle and one chip's HBM cannot hold the (nz, nz)/(m, m)
+    blocks (SURVEY §5.7(b); the sharded algebra is the reference's Schur
+    chain, batch.py:396-424, 435-470).
+
+    Mechanism: inputs get their nz/m dimensions sharded over
+    ``model_axis`` via ``with_sharding_constraint``; the solver runs with
+    ``use_pallas="hybrid_xla"`` — the blocked right-looking hybrid
+    factorization with NO pallas_call anywhere, so GSPMD can partition
+    every op. Each device owns a band of block rows of R/T: panel GEMMs
+    and triangle-only trailing updates are sharded dots (GSPMD places the
+    diagonal-block broadcasts and panel all-gathers on ICI), and the
+    substitution sweeps are sharded GEMVs. Per-device argument memory and
+    trailing-update FLOPs drop by the model-axis size (measured:
+    PERF.md round 5 / benchmarks/tp_accounting.py).
+
+    Returns a :class:`qpth_tpu.QPSolution` (same contract as
+    :func:`qpth_tpu.solve_qp_full`; original coordinates, honest stats).
+    Forward-only — for training huge-QP layers differentiate
+    :func:`qpth_tpu.solve_qp` with ``factors=prefactor_qp_tp(...)``.
+    """
+    import dataclasses
+
+    from .. import qp as qp_mod
+    from ..core import pdipm
+
+    cfg = dataclasses.replace(config, use_pallas="hybrid_xla")
+    Qb, pb, Gb, hb, Ab, bb, _ = qp_mod._canonicalize(Q, p, G, h, A, b)
+    csc = jax.lax.with_sharding_constraint
+
+    def bspec(M):
+        return batch_axis if M.shape[0] > 1 else None
+
+    def run(Qb, pb, Gb, hb, Ab, bb):
+        Qb = csc(Qb, _nshard(mesh, bspec(Qb), model_axis, None))
+        Gb = csc(Gb, _nshard(mesh, bspec(Gb), None, model_axis))
+        if Ab is not None:
+            Ab = csc(Ab, _nshard(mesh, bspec(Ab), None, model_axis))
+        factors = qp_mod._build_factors(Qb, Gb, Ab, cfg)
+        # Pin the iteration-critical cached products to a block-row
+        # sharding so the while_loop's factor/solve work partitions the
+        # same way every iteration (no resharding inside the loop).
+        row = lambda M: _nshard(mesh, bspec(M), model_axis, None)
+        repl = dict(
+            R=csc(factors.R, row(factors.R)),
+            invQ=csc(factors.invQ, row(factors.invQ)),
+            invQ_GT=csc(factors.invQ_GT, row(factors.invQ_GT)),
+            GiGT=(csc(factors.GiGT, row(factors.GiGT))
+                  if factors.GiGT is not None else None),
+        )
+        if factors.S21 is not None:
+            repl.update(
+                invQ_AT=csc(factors.invQ_AT, row(factors.invQ_AT)),
+                S21=csc(factors.S21, row(factors.S21)))
+        factors = factors._replace(**repl)
+        return pdipm.solve(Qb, pb, Gb, hb, Ab, bb, factors, cfg,
+                           init=init)
+
+    with mesh:
+        if Ab is None:
+            return jax.jit(lambda q, pp, g, hh: run(q, pp, g, hh, None,
+                                                    None))(Qb, pb, Gb, hb)
+        return jax.jit(run)(Qb, pb, Gb, hb, Ab, bb)
+
+
 def factor_solve_hybrid_tp(T, v, *, mesh: Mesh, dinv=None,
                            model_axis: str = "model",
                            batch_axis: str | None = None):

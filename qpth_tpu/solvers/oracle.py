@@ -58,23 +58,49 @@ def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100,
         re = A @ x - b if has_eq else np.zeros(0)
         return rd, rp, re
 
-    def newton(rd, rp, re, rc, s, z):
+    def newton(rd, rp, re, rc, s, z, reg=0.0):
         """Solve the augmented system in (dx, dz, dy) after eliminating
-        ds = (-rc - s*dz) / z from the complementarity row."""
+        ds = (-rc - s*dz) / z from the complementarity row.
+
+        ``reg``: primal-dual Tikhonov regularization (+reg on the primal
+        block, -reg on the dual blocks — the standard symmetric
+        quasidefinite shift) for degenerate/extreme-conditioning
+        instances; returns None on a singular or non-finite solve so the
+        caller can escalate reg instead of polluting the iterate."""
         k = n + m + neq
         M = np.zeros((k, k))
-        M[:n, :n] = Q
+        M[:n, :n] = Q + reg * np.eye(n)
         M[:n, n:n + m] = G.T
         M[n:n + m, :n] = G
-        M[n:n + m, n:n + m] = -np.diag(s / z)
+        M[n:n + m, n:n + m] = -np.diag(s / z) - reg * np.eye(m)
         if has_eq:
             M[:n, n + m:] = A.T
             M[n + m:, :n] = A
+            M[n + m:, n + m:] = -reg * np.eye(neq)
         rhs = np.concatenate([-rd, -rp + rc / z, -re])
-        sol = np.linalg.solve(M, rhs)
+        try:
+            sol = np.linalg.solve(M, rhs)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.isfinite(sol).all():
+            return None
         dx, dz, dy = sol[:n], sol[n:n + m], sol[n + m:]
         ds = (-rc - s * dz) / z
+        if not np.isfinite(ds).all():
+            return None
         return dx, ds, dz, dy
+
+    def newton_safe(rd, rp, re, rc, s, z):
+        """newton() with escalating regularization — the f64 analog of
+        the device solver's per-lane adaptive Tikhonov (core/pdipm.py):
+        exact solve first, then reg growing 100x until the direction is
+        finite. None only when every level fails."""
+        d = newton(rd, rp, re, rc, s, z)
+        reg = 1e-12
+        while d is None and reg <= 1e-2:
+            d = newton(rd, rp, re, rc, s, z, reg=reg)
+            reg *= 100.0
+        return d
 
     def max_step(v, dv):
         neg = dv < 0
@@ -83,9 +109,14 @@ def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100,
         return min(1.0, np.min(-v[neg] / dv[neg]))
 
     converged = False
+    best = None  # (score, x, s, z, y) — returned if the loop breaks down
     for _ in range(max_iter):
         rd, rp, re = residuals(x, s, z, y)
         mu = s @ z / m
+        score = max(np.abs(rd).max(), np.abs(rp).max(),
+                    np.abs(re).max() if has_eq else 0.0, abs(mu))
+        if np.isfinite(score) and (best is None or score < best[0]):
+            best = (score, x.copy(), s.copy(), z.copy(), y.copy())
         if (max(np.abs(rd).max(), np.abs(rp).max(),
                 np.abs(re).max() if has_eq else 0.0) < tol and mu < tol):
             converged = True
@@ -93,25 +124,46 @@ def solve_qp_np(Q, p, G, h, A=None, b=None, tol=1e-11, max_iter=100,
 
         # Predictor.
         rc_aff = s * z
-        dx_a, ds_a, dz_a, dy_a = newton(rd, rp, re, rc_aff, s, z)
+        d_a = newton_safe(rd, rp, re, rc_aff, s, z)
+        if d_a is None:
+            break       # out of regularization headroom: keep the best
+        dx_a, ds_a, dz_a, dy_a = d_a
         a_p = max_step(s, ds_a)
         a_d = max_step(z, dz_a)
         mu_aff = (s + a_p * ds_a) @ (z + a_d * dz_a) / m
-        sigma = (mu_aff / mu) ** 3
+        sigma = min((mu_aff / mu) ** 3, 1.0) if mu > 0 else 1.0
 
         # Corrector (combined direction).
         rc = s * z + ds_a * dz_a - sigma * mu
-        dx, ds, dz, dy = newton(rd, rp, re, rc, s, z)
+        d_c = newton_safe(rd, rp, re, rc, s, z)
+        if d_c is None:
+            break
+        dx, ds, dz, dy = d_c
         eta = 0.99995
         a_p = eta * max_step(s, ds)
         a_d = eta * max_step(z, dz)
         alpha = min(a_p, a_d)
+        if not np.isfinite(alpha):
+            break
 
         x = x + alpha * dx
         s = s + alpha * ds
         z = z + alpha * dz
         if has_eq:
             y = y + alpha * dy
+        # Keep the slack pair strictly positive: underflowed entries make
+        # every subsequent d = s/z division meaningless.
+        s = np.maximum(s, 1e-300)
+        z = np.maximum(z, 1e-300)
+
+    # Final-iterate vs best-iterate: return the better-scored point (the
+    # loop above may have broken down after its best iterate).
+    rd, rp, re = residuals(x, s, z, y)
+    mu = s @ z / m
+    score = max(np.abs(rd).max(), np.abs(rp).max(),
+                np.abs(re).max() if has_eq else 0.0, abs(mu))
+    if best is not None and not (np.isfinite(score) and score <= best[0]):
+        _, x, s, z, y = best
 
     obj = 0.5 * x @ Q @ x + p @ x
     out = (obj, x, (y if has_eq else None), z, s)

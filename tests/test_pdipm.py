@@ -204,3 +204,76 @@ def test_fail_soft_init_and_adaptive_reg():
              + m * mu)
     assert np.isfinite(score).all()
     assert np.median(score) < 0.5, score
+
+
+def test_escalate_oracle_rescues_cond_limited_lanes():
+    """VERDICT round-4 #6: the rotated-spectrum cond~1e8 fixture is
+    beyond ANY f32 factorization (fail-soft keeps it finite at ~1e-1
+    median); with SolverConfig(escalate="oracle") the still-bad lanes
+    re-solve on the host in f64 and the batch reaches <= 1e-4 median,
+    with per-lane flags in stats.escalated."""
+    import jax.numpy as jnp
+
+    import qpth_tpu
+    from qpth_tpu import SolverConfig
+
+    rng = np.random.RandomState(3)
+    B, n, m = 8, 48, 48
+    U, _ = np.linalg.qr(rng.randn(n, n))
+    Q = (U * np.logspace(0, -8, n)) @ U.T
+    Q = 0.5 * (Q + Q.T) + 1e-9 * np.eye(n)
+    G = rng.randn(B, m, n)
+    z0 = rng.randn(n)
+    s0 = rng.rand(B, m)
+    h = np.einsum("bmn,n->bm", G, z0) + s0
+    p = rng.randn(B, n)
+    a32 = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
+
+    sol = qpth_tpu.solve_qp_full(
+        *a32, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                  escalate="oracle"))
+    assert sol.stats.escalated is not None
+    assert bool(np.asarray(sol.stats.escalated).any())
+    assert np.median(np.asarray(sol.stats.best_resids)) <= 1e-4
+    # Independent verification on the double-word solution (|x| ~ 1e4 on
+    # this fixture: a single f32 word rounds at ~1e-3 absolute, so the
+    # exact answer is hi + lo — same contract as dw refinement). Scored
+    # against the f32-representable problem the solver actually saw.
+    Qf = np.float32(Q).astype(np.float64)
+    Gf = np.float32(G).astype(np.float64)
+    pf = np.float32(p).astype(np.float64)
+    hf = np.float32(h).astype(np.float64)
+    assert sol.lo is not None
+    z = (np.float64(np.asarray(sol.z)) + np.float64(np.asarray(sol.lo.z)))
+    lam = (np.float64(np.asarray(sol.lam))
+           + np.float64(np.asarray(sol.lo.lam)))
+    sv = (np.float64(np.asarray(sol.s)) + np.float64(np.asarray(sol.lo.s)))
+    rx = np.einsum("nk,bk->bn", Qf, z) + pf \
+        + np.einsum("bmn,bm->bn", Gf, lam)
+    rz = np.einsum("bmn,bn->bm", Gf, z) + sv - hf
+    mu = np.abs((sv * lam).sum(-1)) / m
+    score = (np.linalg.norm(rx, axis=-1) + np.linalg.norm(rz, axis=-1)
+             + m * mu)
+    assert np.isfinite(score).all()
+    assert np.median(score) <= 1e-4, score
+
+
+def test_escalate_noop_on_healthy_batch(rng):
+    """Escalation never perturbs lanes that converged on-device."""
+    import jax.numpy as jnp
+
+    import qpth_tpu
+    from qpth_tpu import SolverConfig
+
+    from conftest import make_feasible_qp
+
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=8, nineq=5, neq=0,
+                                        nbatch=4)
+    args = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h)]
+    base = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    esc = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                   escalate="oracle"))
+    assert not bool(np.asarray(esc.stats.escalated).any())
+    np.testing.assert_array_equal(np.asarray(esc.z), np.asarray(base.z))
