@@ -297,13 +297,10 @@ class SpQPFunction:
             return self._call_diag(Qv, p, Gv, h, Av, b)
         if self.structure == "banded":
             return self._call_banded(Qv, p, Gv, h, Av, b)
-        if self.structure == "general":
-            if (getattr(self, "_general_auto", False)
-                    and jnp.dtype(jnp.asarray(Qv).dtype).itemsize < 8
-                    and self.Qsz[0] < self.GENERAL_F32_MIN_N):
-                pass    # auto-chosen + f32 + small n: densify below
-            else:
-                return self._call_general(Qv, p, Gv, h, Av, b)
+        if self.structure == "general" and not self._general_densifies(Qv):
+            return self._call_general(Qv, p, Gv, h, Av, b)
+        # (general + auto-chosen + f32 + small n densifies below — a
+        # measured speed crossover, see GENERAL_F32_MIN_N.)
         Q = _densify(self.Qi, Qv, self.Qsz)
         G = _densify(self.Gi, Gv, self.Gsz)
         A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
@@ -312,6 +309,86 @@ class SpQPFunction:
         # whole pipeline is differentiable end to end.
         return solve_qp(Q, p, G, h, A, b if self.neq > 0 else None,
                         config=self.config)
+
+    def solve_full(self, Qv, p, Gv, h, Av, b, init=None):
+        """Forward-only solve returning the FULL primal-dual solution and
+        ``SolveStats`` (qpth_tpu.QPSolution), from whichever tier the
+        pattern dispatched to — the structured tiers are drop-in for the
+        dense path (VERDICT r4 #9: duals + stats + MPC warm starts on
+        every tier). ``init``: optional warm start (x, s, z, y) in
+        NATURAL coordinates (pass the previous solve_full's
+        (z, s, lam, nu)); permutation/padding for the general/banded
+        tiers is handled here. Not differentiable — use ``__call__`` for
+        gradients.
+
+        The reference's sparse path returns only zhats and keeps duals on
+        ctx (qp.py:201-210); this surfaces them like the dense API does.
+        """
+        if self.structure == "diag":
+            from .diagqp import solve_qp_diag_full
+
+            B = Qv.shape[0]
+            n = self.Qsz[0]
+            q = jnp.zeros((B, n), Qv.dtype).at[:, self.Qi[0]].add(Qv)
+            g = jnp.zeros((B, n), Gv.dtype).at[:, self.Gi[0]].add(Gv)
+            A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
+            return solve_qp_diag_full(q, p, g, h, A,
+                                      b if self.neq > 0 else None,
+                                      config=self.config, init=init)
+        if self.structure == "banded" or (
+                self.structure == "general"
+                and not self._general_densifies(Qv)):
+            from .bandqp import solve_qp_banded_full
+
+            general = self.structure == "general"
+            B = Qv.shape[0]
+            n, bs, nb, n_pad = self._band
+            m = self.Gsz[0]
+            dt = Qv.dtype
+            Qd, Qe = self._band_blocks(Qv)
+            A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
+            pv = jnp.broadcast_to(jnp.atleast_2d(p), (B, n))
+            hv = jnp.broadcast_to(jnp.atleast_2d(h), (B, m))
+            if general:
+                perm, invp, spec = self._gen
+                pv = pv[:, perm]
+                if A is not None:
+                    A = A[:, :, perm]
+                gk = dict(g_spec=spec)
+                gv = Gv
+            else:
+                gk = dict(g_cols=self._g_ci)
+                gv = jnp.zeros((B, m), Gv.dtype).at[:, self.Gi[0]].add(Gv)
+            if n_pad > n:
+                pad = n_pad - n
+                pv = jnp.pad(pv, ((0, 0), (0, pad)))
+                if A is not None:
+                    A = jnp.pad(A, ((0, 0), (0, 0), (0, pad)))
+            if init is not None:
+                x0, s0, z0, y0 = init
+                x0 = x0[:, perm] if general else x0
+                if n_pad > n:
+                    x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n)))
+                init = (x0, s0, z0, y0)
+            sol = solve_qp_banded_full(
+                Qd, Qe, pv, gv, hv, A, b if self.neq > 0 else None,
+                config=self.config, init=init, **gk)
+            z = sol.z[:, invp] if general else sol.z[:, :n]
+            return sol._replace(z=z)
+        Q = _densify(self.Qi, Qv, self.Qsz)
+        G = _densify(self.Gi, Gv, self.Gsz)
+        A = _densify(self.Ai, Av, self.Asz) if self.neq > 0 else None
+        from .qp import solve_qp_full
+
+        return solve_qp_full(Q, p, G, h, A,
+                             b if self.neq > 0 else None,
+                             config=self.config, init=init)
+
+    def _general_densifies(self, Qv) -> bool:
+        """The general tier's auto-dispatch densify rule (see __call__)."""
+        return (getattr(self, "_general_auto", False)
+                and jnp.dtype(jnp.asarray(Qv).dtype).itemsize < 8
+                and self.Qsz[0] < self.GENERAL_F32_MIN_N)
 
     def _call_diag(self, Qv, p, Gv, h, Av, b):
         """Structured dispatch: scatter pattern values onto the Q/G
