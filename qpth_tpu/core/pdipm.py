@@ -525,9 +525,17 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
     if scaled:
         from .. import scaling as scaling_mod
 
+        # Iterate coordinates (factors.scaling — identity values when the
+        # probe's light branch kept the factors unscaled) vs SEMANTIC
+        # coordinates (sem_scaling — the Ruiz scalings either way): the
+        # algebra runs in iterate coordinates; the scale-sensitive
+        # vector-space behaviors (init shift, clamps, selection scoring)
+        # run in semantic coordinates, which is where equilibration's
+        # entire effect lives for pow2 scalings (the factorization chains
+        # are exactly scale-covariant). In the full (scale-inputs) branch
+        # the two coincide.
+        sem = factors.sem_scaling if factors.sem_scaling is not None else sc
         p_, h_, b_ = scaling_mod.scale_vecs(p, h, b, sc)
-        if init is not None:
-            init = scaling_mod.scale_point(*init, sc)
         w_rx = sc.c * sc.E           # rx~ = w_rx * rx (exact: pow2)
         w_rz = sc.RG
         w_ry = sc.RA
@@ -535,6 +543,16 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         m_x, m_s = sc.E, 1.0 / sc.RG  # iterate -> original coordinates
         m_z = sc.RG / sc.c
         m_y = (sc.RA / sc.c) if sc.RA is not None else None
+        # Semantic selection weights (original -> semantic coordinates)
+        # and iterate -> semantic elementwise maps for s and z.
+        sw_rx = sem.c * sem.E
+        sw_rz = sem.RG
+        sw_ry = sem.RA
+        sem_c = sem.c[..., 0]
+        ws_s = m_s * sem.RG
+        ws_z = m_z * (sem.c / sem.RG)
+        if init is not None:
+            init = scaling_mod.scale_point(*init, sc)
         # The non-fast machinery (substitution-mode RHS prep, FULL/IR
         # saddle solves) consumes scaled matrices directly; defined as
         # fusable expressions — dead (never materialized) on the fast path.
@@ -752,7 +770,17 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
 
     if init is None:
         # ---- Initialization: solve with d = 1, RHS (p, 0, -h, -b) ----
-        ones_m = jnp.ones((B, nineq), dtype)
+        # "d = 1" is in SEMANTIC coordinates: the init complementarity
+        # diagonal is the one coordinate-DEPENDENT choice of the whole
+        # iteration (T_init = R + diag(1/d) is not scale-covariant for a
+        # fixed d), so the light branch maps it into iterate coordinates
+        # (d_it = d_sem * ws_s / ws_z); the full branch's weights are
+        # exactly 1 and this is the reference's plain d = 1
+        # (batch.py:61-67). After this, every later d = z/s evolves
+        # covariantly and the trajectory matches a scaled-data solve.
+        ones_m = jnp.broadcast_to(
+            (ws_s / ws_z) if scaled else jnp.ones((), dtype),
+            (B, nineq)).astype(dtype)
         if fast:
             # The init system IS the fast predictor evaluated at
             # (x, z, y) = 0 with d = 1: rhs_T reduces to q - S21 u with
@@ -771,17 +799,28 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             _, x, s, z, y = kkt_factor_solve(ones_m, p_, None, -h_,
                                              -b_ if neq > 0 else None)
 
-        # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87).
-        def shift_pos(v):
-            m = v.min(axis=-1, keepdims=True)
-            return jnp.where(m < 0, v - m + 1.0, v)
+        # Shift so every lane has s >= 1 and z >= 1 (batch.py:77-87) — in
+        # SEMANTIC coordinates (the shift is the one scale-SENSITIVE step
+        # of the whole iteration, and the equilibrated starting point is
+        # what rescues borderline-factorizable f32 problems; in the full
+        # branch the weights are exactly 1 and this is the plain shift).
+        def shift_pos(v, w=None):
+            vs = v * w if (scaled and w is not None) else v
+            mn = vs.min(axis=-1, keepdims=True)
+            vs = jnp.where(mn < 0, vs - mn + 1.0, vs)
+            return vs / w if (scaled and w is not None) else vs
 
-        s = shift_pos(s)
-        z = shift_pos(z)
+        s = shift_pos(s, ws_s if scaled else None)
+        z = shift_pos(z, ws_z if scaled else None)
     else:
         x, s, z, y = init
-        s = jnp.maximum(s, config.warm_start_min)
-        z = jnp.maximum(z, config.warm_start_min)
+        # Interiority clip in semantic coordinates (exact pow2 weights).
+        if scaled:
+            s = jnp.maximum(s, config.warm_start_min / ws_s)
+            z = jnp.maximum(z, config.warm_start_min / ws_z)
+        else:
+            s = jnp.maximum(s, config.warm_start_min)
+            z = jnp.maximum(z, config.warm_start_min)
     y = y if y is not None else jnp.zeros((B, 0), dtype)
 
     # Fail-soft init: a lane whose INIT solve NaN'd (f32 Schur chain
@@ -796,8 +835,10 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         bad0 = bad0 | jnp.isnan(y).any(-1)
     b0 = bad0[:, None]
     x = jnp.where(b0, 0.0, x)
-    s = jnp.where(b0, 1.0, s)
-    z = jnp.where(b0, 1.0, z)
+    # Neutral interior restart point (0, 1, 1, 0) — the "1"s in semantic
+    # coordinates (identity weights in the full branch).
+    s = jnp.where(b0, (1.0 / ws_s) if scaled else 1.0, s)
+    z = jnp.where(b0, (1.0 / ws_z) if scaled else 1.0, z)
     if neq > 0:
         y = jnp.where(b0, 0.0, y)
     reg0 = jnp.where(bad0, jnp.asarray(config.ir_eps, dtype),
@@ -855,6 +896,14 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         reg=reg0,
     )
 
+    def mu_sel_of(mu):
+        """Iterate-coordinate mu -> semantic-coordinate mu for the
+        selection score (identity without scaling; exact pow2 either
+        way)."""
+        if not scaled:
+            return mu
+        return (mu / c_flat) * sem_c
+
     def exact_pri_dual(x, s, z, y):
         """(pri, dual, pri_o, dual_o) residual norms from scratch, reading
         the ORIGINAL matrices: the scaled iterate maps to original
@@ -877,10 +926,11 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         dual_o = jnp.linalg.norm(rx, axis=-1)
         if not scaled:
             return pri_o, dual_o, pri_o, dual_o
-        pri_s = jnp.linalg.norm(rz * w_rz, axis=-1)
+        # Selection/termination norms in SEMANTIC coordinates.
+        pri_s = jnp.linalg.norm(rz * sw_rz, axis=-1)
         if neq > 0:
-            pri_s = pri_s + jnp.linalg.norm(ry * w_ry, axis=-1)
-        dual_s = jnp.linalg.norm(rx * w_rx, axis=-1)
+            pri_s = pri_s + jnp.linalg.norm(ry * sw_ry, axis=-1)
+        dual_s = jnp.linalg.norm(rx * sw_rx, axis=-1)
         return pri_s, dual_s, pri_o, dual_o
 
     def residuals(x, s, z, y):
@@ -897,15 +947,27 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             y_resid = jnp.zeros((B,), dtype)
         rz = kkt_ops.bmv(Gm, x) + s - h_
         mu = jnp.abs((s * z).sum(axis=-1) / nineq)
-        pri = y_resid + jnp.linalg.norm(rz, axis=-1)
-        dual = jnp.linalg.norm(rx, axis=-1)
-        resids = pri + dual + nineq * mu
         if not scaled:
+            pri = y_resid + jnp.linalg.norm(rz, axis=-1)
+            dual = jnp.linalg.norm(rx, axis=-1)
+            resids = pri + dual + nineq * mu
             return rx, rz, ry, mu, resids, pri, dual, pri, dual
-        pri_o = jnp.linalg.norm(rz / w_rz, axis=-1)
+        # Original-coordinate vectors by exact inverse weighting, then
+        # SEMANTIC-coordinate selection norms (== iterate norms in the
+        # full branch, where sc == sem).
+        rz_o = rz / w_rz
+        rx_o = rx / w_rx
+        ry_o = ry / w_ry if neq > 0 else None
+        pri_o = jnp.linalg.norm(rz_o, axis=-1)
         if neq > 0:
-            pri_o = pri_o + jnp.linalg.norm(ry / w_ry, axis=-1)
-        dual_o = jnp.linalg.norm(rx / w_rx, axis=-1)
+            pri_o = pri_o + jnp.linalg.norm(ry_o, axis=-1)
+        dual_o = jnp.linalg.norm(rx_o, axis=-1)
+        pri = jnp.linalg.norm(rz_o * sw_rz, axis=-1)
+        if neq > 0:
+            pri = pri + jnp.linalg.norm(ry_o * sw_ry, axis=-1)
+        dual = jnp.linalg.norm(rx_o * sw_rx, axis=-1)
+        mu_sel = (mu / c_flat) * sem_c
+        resids = pri + dual + nineq * mu_sel
         return rx, rz, ry, mu, resids, pri, dual, pri_o, dual_o
 
     def cond_fn(st: _IPMState):
@@ -929,7 +991,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
                 # The _o fallbacks are never recorded (updates are gated
                 # on exact_now below).
                 lambda: (st.pri, st.dual, st.pri, st.dual))
-            resids = pri + dual + nineq * mu
+            resids = pri + dual + nineq * mu_sel_of(mu)
             rx = rz = ry = None
         elif fast:
             # Fast path scores against the ORIGINAL matrices (the scaled
@@ -938,7 +1000,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
             # into the cached products).
             mu = jnp.abs((s * z).sum(axis=-1) / nineq)
             pri, dual, pri_o, dual_o = exact_pri_dual(x, s, z, y)
-            resids = pri + dual + nineq * mu
+            resids = pri + dual + nineq * mu_sel_of(mu)
             rx = rz = ry = None
         else:
             (rx, rz, ry, mu, resids, pri, dual,
@@ -1179,7 +1241,7 @@ def solve(Q, p, G, h, A, b, factors: kkt_ops.KKTFactors,
         pri_f, dual_f, pri_fo, dual_fo = exact_pri_dual(
             final.x, final.s, final.z, final.y)
         mu_f = jnp.abs((final.s * final.z).sum(axis=-1) / nineq)
-        score_f = pri_f + dual_f + nineq * mu_f
+        score_f = pri_f + dual_f + nineq * mu_sel_of(mu_f)
         take1 = score_f < final.best_resids
         take = take1[:, None]
         if scaled:

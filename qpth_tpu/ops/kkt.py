@@ -88,14 +88,21 @@ class KKTFactors(NamedTuple):
     #: m^3 HIGHEST-precision gram). invQ is None when this is set; vector
     #: applications go through ops.hybrid.solve_hybrid.
     facQ: Optional[object] = None
-    # --- Equilibration (scaling.Scaling). When set, every cached product
-    # above is of the SCALED problem Q~ = c E Q E, G~ = R_G G E,
-    # A~ = R_A A E. The scaled matrices themselves are NOT stored: the
-    # solver computes residuals against the ORIGINAL matrices and maps the
-    # norms between coordinate systems with the (exact, pow2) scaling
-    # weights, so full-size scaled copies never hit HBM (see pdipm.solve
-    # and scaling.py's docstring).
+    # --- Equilibration (scaling.Scaling). ``scaling`` gives the
+    # coordinates the cached products (and hence the IPM iterates) live
+    # in: identity values when the probe's light branch kept the factors
+    # UNSCALED, the Ruiz scalings when the full branch scaled the inputs.
+    # ``sem_scaling`` carries the Ruiz scalings themselves in either case
+    # — the solver uses them for the scale-sensitive VECTOR-space
+    # behaviors (init shift, clamps, termination/selection scoring),
+    # which is where equilibration's entire numerical effect lives for
+    # pow2 scalings (the factorization chains are exactly scale-covariant
+    # — see scaling.py's docstring); this is how the light branch gets
+    # the full equilibration behavior with ZERO matrix scaling work.
+    # Scaled matrices are never stored either way: residual scoring reads
+    # the ORIGINAL matrices and maps norms by exact pow2 weights.
     scaling: Optional[object] = None
+    sem_scaling: Optional[object] = None
 
 
 def _spd_inv(M, use_pallas_kernels: bool):

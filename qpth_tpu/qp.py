@@ -90,10 +90,6 @@ def _build_factors(Qb, Gb, Ab, config: SolverConfig) -> kkt_ops.KKTFactors:
     modes = kkt_ops.resolve_prefactor_modes(config, Qb.dtype)
     if scaling_mod.resolve_equilibrate(config, Qb.dtype):
         probe = config.equilibrate == "auto"
-        light_ok = (probe and modes.get("inverse", False)
-                    and kkt_ops.uses_explicit_inverse(
-                        Qb.shape[0], Qb.shape[-1],
-                        modes.get("use_pallas_kernels", False)))
         sc, ok = scaling_mod.ruiz_scalings(
             Qb, Gb, Ab, iters=config.ruiz_iters,
             axis_name=config.axis_name, probe=probe, return_ok=True)
@@ -103,24 +99,29 @@ def _build_factors(Qb, Gb, Ab, config: SolverConfig) -> kkt_ops.KKTFactors:
                 scaling_mod.scale_Q(Qb, sc), scaling_mod.scale_G(Gb, sc),
                 scaling_mod.scale_A(Ab, sc), **modes)
 
-        if not light_ok:
-            return scaled_prefactor(None)._replace(scaling=sc)
+        if not probe:
+            return scaled_prefactor(None)._replace(scaling=sc,
+                                                   sem_scaling=sc)
 
-        # Probe-positive fast path: prefactor the ORIGINAL matrices and
-        # weight the cached products into scaled coordinates (exact pow2
-        # weightings that fuse into the producing dots' epilogues) — no
-        # scaled matrix copy ever materializes. Probe-negative data takes
-        # the scale-inputs-first branch, which keeps the over/underflow
-        # protection badly-scaled problems need. The runtime executes
-        # only the taken branch.
+        # Probe-positive fast path: prefactor the ORIGINAL matrices —
+        # zero matrix scaling work of any kind. For pow2 scalings the
+        # whole factorization chain is exactly scale-covariant, so
+        # equilibration's entire numerical effect lives in the solver's
+        # VECTOR-space behaviors (init shift, clamps, selection scoring);
+        # those read sem_scaling, while the iterate coordinates
+        # (factors.scaling) stay identity. Probe-negative data takes the
+        # scale-inputs-first branch (over/underflow protection), where
+        # iterate coordinates == semantic coordinates. The runtime
+        # executes only the taken branch of the cond.
         def light_prefactor(_):
-            f = kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
-            return scaling_mod.scale_factors_inverse_mode(f, sc)
+            return kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
 
         import jax
 
         f = jax.lax.cond(ok, light_prefactor, scaled_prefactor, None)
-        return f._replace(scaling=sc)
+        fac_sc = scaling_mod.select_scaling(
+            ok, scaling_mod.identity_like(sc), sc)
+        return f._replace(scaling=fac_sc, sem_scaling=sc)
     return kkt_ops.pre_factor_kkt(Qb, Gb, Ab, **modes)
 
 

@@ -319,52 +319,21 @@ def ruiz_equilibrate(Q, G, A=None, iters: int = 4, pow2: bool = True,
             scale_A(A, scaling))
 
 
-def scale_factors_inverse_mode(f, s: Scaling):
-    """Map an UNSCALED inverse-mode prefactorization (kkt.KKTFactors of
-    the original problem, invQ set) to the scaled problem's factors by
-    exact elementwise weighting of each cached product.
+def identity_like(s: Scaling) -> Scaling:
+    """All-ones scaling with s's shapes (the identity coordinates)."""
+    return Scaling(
+        E=jnp.ones_like(s.E), RG=jnp.ones_like(s.RG),
+        RA=jnp.ones_like(s.RA) if s.RA is not None else None,
+        c=jnp.ones_like(s.c))
 
-    Identity used: every cached product of the scaled problem is an exact
-    diagonal weighting of the unscaled one —
 
-        Q~^-1        = (1/c) E^-1 Q^-1 E^-1
-        Q~^-1 G~^T   = (1/c) E^-1 (Q^-1 G^T) R_G
-        G~ Q~^-1 G~^T= (1/c) R_G (G Q^-1 G^T) R_G      (R likewise)
-        S21~         = (1/c) R_G (G Q^-1 A^T) R_A
-        S11~         = (1/c) R_A (A Q^-1 A^T) R_A
-        S11~^-1      =   c   R_A^-1 S11^-1 R_A^-1
-        W~           = R_A^-1 W R_G
-
-    and with power-of-two scalings each weighting is EXACT, while the
-    computations themselves are numerically equivalent (diagonal pow2
-    scaling rescales every intermediate of the factorization chain by the
-    same exact factors — the classical scaling-invariance of Cholesky).
-    The weightings fuse into the producing dots' epilogues, so — unlike
-    scaling the input matrices, which XLA materializes in one layout per
-    consumer — this costs no extra HBM traffic. Valid only when the
-    unscaled chain cannot over/underflow (the probe's magnitude gate).
-    """
-    iE = 1.0 / s.E
-    ic = (1.0 / s.c)[..., None]          # (b, 1, 1) — the 1/c weight
-    out = f._replace(
-        invQ=f.invQ * (ic * iE[..., :, None] * iE[..., None, :]),
-        invQ_GT=f.invQ_GT * (ic * iE[..., :, None] * s.RG[..., None, :]),
-        GiGT=f.GiGT * (ic * s.RG[..., :, None] * s.RG[..., None, :]),
-        R=f.R * (ic * s.RG[..., :, None] * s.RG[..., None, :]),
-    )
-    if f.S21 is not None:
-        iRA = 1.0 / s.RA
-        cc = s.c[..., None]              # (b, 1, 1)
-        out = out._replace(
-            invQ_AT=f.invQ_AT * (ic * iE[..., :, None]
-                                 * s.RA[..., None, :]),
-            S21=f.S21 * (ic * s.RG[..., :, None] * s.RA[..., None, :]),
-            S11=f.S11 * (ic * s.RA[..., :, None] * s.RA[..., None, :]),
-            invS11=f.invS11 * (cc * iRA[..., :, None]
-                               * iRA[..., None, :]),
-            W=f.W * (iRA[..., :, None] * s.RG[..., None, :]),
-        )
-    return out
+def select_scaling(ok, a: Scaling, b: Scaling) -> Scaling:
+    """Elementwise runtime select between two scalings (tiny vectors —
+    no lax.cond needed)."""
+    w = lambda x, y: (jnp.where(ok, x, y)
+                      if x is not None and y is not None else None)
+    return Scaling(E=w(a.E, b.E), RG=w(a.RG, b.RG), RA=w(a.RA, b.RA),
+                   c=w(a.c, b.c))
 
 
 def scale_vecs(p, h, b, s: Scaling):
