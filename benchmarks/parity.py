@@ -164,7 +164,10 @@ def _oracle_batch_impl(Q, p, G, h, A, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--refine", type=int, default=6)
+    # int, or "auto": the shipped accuracy dial — QPFunction(eps=1e-8)
+    # semantics (refine_steps="auto" maps eps<=1e-8 to budget 12 with
+    # 2x-contraction early exit; config.py resolve_refine_steps).
+    ap.add_argument("--refine", default="auto")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -183,8 +186,13 @@ def main():
 
     rng = np.random.RandomState(args.seed)
     cases = build_cases(rng, args.batch, quick=args.quick)
-    cfg = SolverConfig(check_Q_spd=False, verbose=-1,
-                       refine_steps=args.refine)
+    if args.refine == "auto":
+        # The user-facing accuracy dial: eps=1e-8 engages the auto
+        # refinement budget (the parity gate "just works").
+        cfg = SolverConfig(check_Q_spd=False, verbose=-1, eps=1e-8)
+    else:
+        cfg = SolverConfig(check_Q_spd=False, verbose=-1,
+                           refine_steps=int(args.refine))
     cfg0 = SolverConfig(check_Q_spd=False, verbose=-1)
 
     print(f"{'case':>20} | {'f32 base':>10} | {'refined':>10} | gate")

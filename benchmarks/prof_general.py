@@ -108,8 +108,18 @@ def chained_time(solve, p0, ops):
 
 def main():
     rng = np.random.RandomState(0)
-    cfg = qpth_tpu.SolverConfig(check_Q_spd=False, verbose=-1)
-    print(f"backend={jax.default_backend()}", flush=True)
+    # GENERAL_REFINE: "" (off, default) | int | "auto" (the eps=1e-8
+    # accuracy-dial policy) — round-5 crossover re-measure runs both
+    # tiers WITH refinement in the cost (VERDICT r4 #7).
+    refine = os.environ.get("GENERAL_REFINE", "")
+    kw = {}
+    if refine == "auto":
+        kw = dict(eps=1e-8)
+    elif refine:
+        kw = dict(refine_steps=int(refine))
+    cfg = qpth_tpu.SolverConfig(check_Q_spd=False, verbose=-1, **kw)
+    print(f"backend={jax.default_backend()} refine={refine or 'off'}",
+          flush=True)
 
     cases = os.environ.get("GENERAL_CASES", "512:256")
     rows = []

@@ -81,6 +81,7 @@ def test_dl_dQ_symmetrized(rng):
     npt.assert_allclose(dQ, dQ.T, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_batched_grads_match_per_instance(rng):
     """Batched backward == stacked per-instance backwards (pure batch
     parallelism — no cross-talk between lanes).

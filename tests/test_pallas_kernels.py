@@ -62,7 +62,8 @@ def test_non_spd_lane_yields_nan(rng):
 
 
 @pytest.mark.parametrize(
-    "neq", [pytest.param(0, marks=pytest.mark.slow), 2])
+    "neq", [pytest.param(0, marks=pytest.mark.slow),
+            pytest.param(2, marks=pytest.mark.slow)])
 def test_pallas_solver_path_matches_xla(rng, neq):
     """End-to-end: use_pallas=True (interpret) == use_pallas=False, forward
     and gradients. float32, small shapes (interpret mode is slow)."""

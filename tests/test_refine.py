@@ -93,7 +93,8 @@ def test_refine_noop_at_f64(rng):
     npt.assert_allclose(np.asarray(ref.z), np.asarray(base.z),
                         atol=1e-7)
 
-@pytest.mark.parametrize("neq", [0, 3])
+@pytest.mark.parametrize(
+    "neq", [pytest.param(0, marks=pytest.mark.slow), 3])
 def test_refine_dw_reaches_1em8_without_x64(rng, neq):
     """The pure-f32 double-word refinement (ops/dw.py): inside a
     disable_x64 scope (the TPU reality — Mosaic cannot compile under

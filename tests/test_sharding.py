@@ -28,7 +28,7 @@ def _args(rng, B=16, nz=8, m=6, neq=2, batched_mats=False):
 
 @pytest.mark.parametrize(
     "batched_mats",
-    [False, pytest.param(True, marks=pytest.mark.slow)])
+    [pytest.param(False, marks=pytest.mark.slow), True])
 def test_sharded_matches_single_device(rng, batched_mats):
     args = _args(rng, batched_mats=batched_mats)
     z_single = qpth_tpu.solve_qp(*args)
@@ -78,6 +78,7 @@ def test_jit_with_sharded_inputs(rng):
                         atol=1e-9, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_f32_per_lane_termination(rng):
     """f32 activates the per-lane latched termination window; its
     all-lanes-done reduction must compose with shard_map collectives and
@@ -179,6 +180,7 @@ def test_collective_count_and_shapes(rng):
             assert f" {op}(" not in txt, op
 
 
+@pytest.mark.slow
 def test_sharded_mixed_batch_f32_equilibration(rng):
     """Mixed-batch inputs (shared Q, batched G) under shard_map: the
     batch-collapsed Ruiz scalings must be computed over the GLOBAL batch
