@@ -280,14 +280,14 @@ class SpQPFunction:
         return True
 
     #: Auto-dispatch floor for the general tier below float64 — a pure
-    #: SPEED crossover: measured on-chip (PERF.md, scrambled-band
-    #: fixture) the dense hybrid path beats the general tier's serial
-    #: block-Thomas chain ~1.9x at n=256, they cross ~n=500, and the
-    #: general tier wins 1.9x by n=1024 (widening with n). The round-3
-    #: f32 ACCURACY plateau that also motivated this floor (capped-d
-    #: G^T D G, 1e-2..1e-1 residuals) is fixed by post-loop Newton-IR
-    #: (``SolverConfig.refine_steps``; PERF.md round 4) — both tiers now
-    #: reach the same refined accuracy, so only throughput decides.
+    #: SPEED crossover, RE-MEASURED round 5 on-chip WITH refinement
+    #: (refine_steps=3) in both tiers' cost (PERF.md round-5 crossover
+    #: table, scrambled-band fixture): dense wins 1.4x at n=256, the
+    #: tiers cross almost exactly at n=512 (general 1.8x), and general
+    #: wins 3.3x by n=1024 (widening with n — linear vs cubic). The
+    #: refined general tier also breaks its old f32 1e-1 accuracy
+    #: plateau on-chip (1.8e-5..8.6e-5 across the table), so only
+    #: throughput decides the floor.
     #: Explicit ``structure="general"`` is always honored at any size.
     GENERAL_F32_MIN_N = 512
 
