@@ -159,3 +159,45 @@ def test_tp_end_to_end_huge_qp():
     err = np.abs(np.asarray(sol_tp.z) - np.asarray(sol_1.z)).max() / scale
     assert err < 1e-5, err
     assert np.isfinite(np.asarray(sol_tp.stats.best_resids)).all()
+
+
+@pytest.mark.slow
+def test_tp_end_to_end_with_equalities():
+    """solve_qp_tp with neq > 0: the sharded S11/S21/W Schur blocks and
+    the equality backsubstitutions also run model-sharded."""
+    import dataclasses
+
+    from qpth_tpu import SolverConfig
+    from qpth_tpu.parallel.intra import solve_qp_tp
+
+    rng = np.random.RandomState(5)
+    n = m = 512
+    neq = 32
+    with jax.enable_x64(False):
+        W = rng.randn(n, n).astype(np.float32) / np.sqrt(n)
+        Q = W @ W.T + np.eye(n, dtype=np.float32)
+        G = rng.randn(m, n).astype(np.float32) / np.sqrt(n)
+        A = rng.randn(neq, n).astype(np.float32) / np.sqrt(n)
+        z0 = rng.randn(n).astype(np.float32)
+        h = G @ z0 + rng.rand(m).astype(np.float32) + 0.1
+        b = A @ z0
+        p = rng.randn(n).astype(np.float32)
+        args = [jnp.asarray(v)[None] for v in (Q, p, G, h, A, b)]
+
+        cfg = SolverConfig(check_Q_spd=False, verbose=-1, max_iter=6)
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4),
+                    ("batch", "model"))
+        sol_tp = solve_qp_tp(*args, mesh=mesh, config=cfg)
+
+        from qpth_tpu.core import pdipm
+        from qpth_tpu import qp as qp_mod
+
+        cfg1 = dataclasses.replace(cfg, use_pallas="hybrid_xla")
+        Qb, pb, Gb, hb, Ab, bb, _ = qp_mod._canonicalize(*args)
+        fac = qp_mod._build_factors(Qb, Gb, Ab, cfg1)
+        sol_1 = pdipm.solve(Qb, pb, Gb, hb, Ab, bb, fac, cfg1)
+
+    scale = np.abs(np.asarray(sol_1.z)).max()
+    err = np.abs(np.asarray(sol_tp.z) - np.asarray(sol_1.z)).max() / scale
+    assert err < 1e-5, err
+    assert np.isfinite(np.asarray(sol_tp.nu)).all()
