@@ -67,11 +67,15 @@ def fd_grad(f, x, eps=1e-6):
     return g.reshape(x.shape)
 
 
-# Persistent XLA compile cache: the suite's wall time is dominated by
-# jit compiles of the while-loop solver at many distinct shapes; caching
-# them across runs (and CI rounds) cuts reruns by ~5-10x.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("QPTH_TPU_JAX_CACHE",
-                   os.path.join(os.path.expanduser("~"), ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent XLA compile cache: DISABLED for the test suite. It cut
+# reruns ~5-10x, but XLA:CPU executable DESERIALIZATION segfaults
+# nondeterministically on this toolchain (observed three times across
+# full-suite runs, always inside jax compilation_cache._cache_read on a
+# cache HIT; the crashing test then passes standalone once its entry is
+# recompiled). Correctness beats rerun speed; CI runners start with no
+# cache, so CI timing is unaffected. Opt back in explicitly with
+# QPTH_TPU_JAX_CACHE=/path if a future jaxlib fixes the loader.
+_cache = os.environ.get("QPTH_TPU_JAX_CACHE")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
