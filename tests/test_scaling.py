@@ -146,3 +146,53 @@ def test_warm_start_scaled(rng):
                        init=(s0.z, s0.s, s0.lam, s0.nu))
     # warm-started from the solution, the re-solve stays at the solution
     assert np.abs(np.asarray(s1.z) - np.asarray(s0.z)).max() < 1e-3
+
+
+def test_probe_light_vs_full_branch(rng):
+    """equilibrate='auto' (the probe): well-scaled data keeps the factors
+    in ORIGINAL coordinates (identity factors.scaling) with the Ruiz
+    scalings riding in sem_scaling; badly-scaled data takes the full
+    scale-the-inputs branch (factor coords == semantic coords)."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=12, nineq=6, neq=3,
+                                        nbatch=4)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    cfg = SolverConfig(equilibrate="auto")
+
+    fac = prefactor_qp(f32(Q), f32(G), f32(A), config=cfg)
+    assert fac.scaling is not None and fac.sem_scaling is not None
+    # light branch: iterate coordinates are identity...
+    for v in (fac.scaling.E, fac.scaling.RG, fac.scaling.RA,
+              fac.scaling.c):
+        np.testing.assert_array_equal(np.asarray(v), 1.0)
+    # ...while the semantic scalings are the real (non-trivial) Ruiz ones
+    assert np.asarray(fac.sem_scaling.RG).std() >= 0.0
+    assert not np.allclose(np.asarray(fac.sem_scaling.c), 1.0) or \
+        not np.allclose(np.asarray(fac.sem_scaling.E), 1.0)
+
+    s = 10.0 ** rng.uniform(-5, 5, size=12)
+    Qb = Q * s[:, None] * s[None, :]
+    Gb = G * s[None, None, :]
+    Ab = A * s[None, None, :]
+    fac_bad = prefactor_qp(f32(Qb), f32(Gb), f32(Ab), config=cfg)
+    # full branch: factor coords == semantic coords (the Ruiz scalings)
+    np.testing.assert_array_equal(np.asarray(fac_bad.scaling.E),
+                                  np.asarray(fac_bad.sem_scaling.E))
+    assert np.asarray(fac_bad.scaling.E).std() > 0.0
+
+
+def test_probe_solution_quality_matches_forced(rng):
+    """On well-scaled data the auto (light) branch must solve as well as
+    forced full equilibration and as plain equilibrate=False (same
+    problem, three coordinate conventions, one answer)."""
+    Q, p, G, h, A, b = make_feasible_qp(rng, nz=10, nineq=6, neq=2,
+                                        nbatch=4)
+    args = [jnp.asarray(v, jnp.float32) for v in (Q, p, G, h, A, b)]
+    zs = {}
+    for name, kw in (("auto", {}), ("forced", dict(equilibrate=True)),
+                     ("off", dict(equilibrate=False))):
+        sol = solve_qp_full(*args, config=SolverConfig(
+            check_Q_spd=False, verbose=-1, **kw))
+        zs[name] = np.asarray(sol.z)
+        assert float(sol.stats.best_resids.max()) < 1e-3, name
+    assert np.abs(zs["auto"] - zs["forced"]).max() < 1e-4
+    assert np.abs(zs["auto"] - zs["off"]).max() < 1e-4
