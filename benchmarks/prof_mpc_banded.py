@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Receding-horizon MPC on the BANDED structured tier with warm starts.
+
+The real MPC workload is block-tridiagonal (finite-horizon dynamics
+couple consecutive stages) with box-style bounds — exactly the banded
+tier's shape — and re-solves the same structure every control step with
+slowly drifting data. Round 5 surfaced full primal-dual solutions +
+warm starts from the structured tiers (`solve_qp_banded_full`,
+VERDICT r4 #9); this harness measures what that buys: IPM iterations
+and wall time per horizon step, cold vs warm.
+
+    python benchmarks/prof_mpc_banded.py [--batch 512] [--n 256]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--drift", type=float, default=0.02)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import qpth_tpu
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    B, n, bs = args.batch, args.n, args.bs
+    nb = n // bs
+    assert nb * bs == n
+    npr = np.random.RandomState(0)
+    Ld = np.tril(npr.rand(B, nb, bs, bs).astype(np.float32) * 0.3) \
+        + np.eye(bs, dtype=np.float32)
+    Qd = np.einsum("bnij,bnkj->bnik", Ld, Ld) + np.eye(bs,
+                                                      dtype=np.float32)
+    Qe = (0.1 * npr.randn(B, nb - 1, bs, bs)).astype(np.float32)
+    g = np.where(np.abs(npr.randn(B, n)) < 0.3, 0.7,
+                 npr.randn(B, n)).astype(np.float32)
+    z0 = npr.randn(B, n).astype(np.float32)
+    h = (g * z0 + npr.rand(B, n) + 0.2).astype(np.float32)
+    p = npr.randn(B, n).astype(np.float32)
+
+    cfg = qpth_tpu.SolverConfig(check_Q_spd=False, verbose=-1)
+    jQd, jQe, jg, jh = map(jnp.asarray, (Qd, Qe, g, h))
+
+    def solve(p_, init):
+        return qpth_tpu.solve_qp_banded_full(jQd, jQe, p_, jg, jh,
+                                             config=cfg, init=init)
+
+    solve_cold = jax.jit(lambda p_: solve(p_, None))
+    solve_warm = jax.jit(lambda p_, x, s, z: solve(p_, (x, s, z, None)))
+
+    drift = args.drift
+
+    def run(warm):
+        pp = jnp.asarray(p)
+        # Warm up BOTH compiles outside the timed region.
+        sol = solve_cold(pp)
+        np.asarray(solve_warm(pp, sol.z, sol.s, sol.lam).z)
+        init = None
+        iters = []
+        t0 = time.perf_counter()
+        for step in range(args.steps):
+            if warm and init is not None:
+                sol = solve_warm(pp, *init)
+            else:
+                sol = solve_cold(pp)
+            iters.append(int(np.asarray(sol.stats.iterations)))
+            init = (sol.z, sol.s, sol.lam) if warm else None
+            pp = pp + drift * jnp.asarray(
+                npr.randn(B, n).astype(np.float32))
+        np.asarray(sol.z)
+        wall = time.perf_counter() - t0
+        return np.mean(iters[1:]), wall
+
+    print(f"backend={jax.default_backend()}  B={B} n={n} bs={bs} "
+          f"steps={args.steps} drift={drift}", flush=True)
+    it_c, t_c = run(False)
+    print(f"  cold : {it_c:5.1f} iters/step  {t_c:6.2f}s", flush=True)
+    it_w, t_w = run(True)
+    print(f"  warm : {it_w:5.1f} iters/step  {t_w:6.2f}s  "
+          f"({t_c/t_w:.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
