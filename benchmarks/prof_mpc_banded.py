@@ -79,6 +79,13 @@ def main():
         # Warm up BOTH compiles outside the timed region.
         sol = solve_cold(pp)
         np.asarray(solve_warm(pp, sol.z, sol.s, sol.lam).z)
+        # Pre-generate the drift sequence so host RNG/upload is outside
+        # the timed loop; keep iteration counters on device until the end
+        # (a per-step scalar readback through the tunnel costs ~a full
+        # round trip and would swamp the solve time).
+        drifts = [jnp.asarray(drift * npr.randn(B, n).astype(np.float32))
+                  for _ in range(args.steps)]
+        np.asarray(drifts[-1][0, 0])
         init = None
         iters = []
         t0 = time.perf_counter()
@@ -87,19 +94,28 @@ def main():
                 sol = solve_warm(pp, *init)
             else:
                 sol = solve_cold(pp)
-            iters.append(int(np.asarray(sol.stats.iterations)))
+            iters.append(sol.stats.iterations)
             init = (sol.z, sol.s, sol.lam) if warm else None
-            pp = pp + drift * jnp.asarray(
-                npr.randn(B, n).astype(np.float32))
-        np.asarray(sol.z)
+            # Consume the solution in the next step's input either way:
+            # an unused remote output gets fetched to the host by the
+            # tunnel runtime (measured ~150 ms/step of phantom cost on
+            # the cold arm), which would bill the cold arm for transfers
+            # the warm arm's init chaining naturally avoids.
+            pp = pp + drifts[step] + 0.0 * sol.z
+        iters = [int(v) for v in np.asarray(jnp.stack(iters))]
         wall = time.perf_counter() - t0
         return np.mean(iters[1:]), wall
 
     print(f"backend={jax.default_backend()}  B={B} n={n} bs={bs} "
           f"steps={args.steps} drift={drift}", flush=True)
+    # Two passes per arm, interleaved; report the faster pass of each
+    # (first passes eat deferred tunnel work nondeterministically).
     it_c, t_c = run(False)
-    print(f"  cold : {it_c:5.1f} iters/step  {t_c:6.2f}s", flush=True)
     it_w, t_w = run(True)
+    it_c2, t_c2 = run(False)
+    it_w2, t_w2 = run(True)
+    t_c, t_w = min(t_c, t_c2), min(t_w, t_w2)
+    print(f"  cold : {it_c:5.1f} iters/step  {t_c:6.2f}s", flush=True)
     print(f"  warm : {it_w:5.1f} iters/step  {t_w:6.2f}s  "
           f"({t_c/t_w:.2f}x)", flush=True)
 
