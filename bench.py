@@ -184,7 +184,21 @@ def main():
     modes = ("fwd", "fwdbwd") if MODE == "both" else (MODE,)
     res = {}
     for mode in modes:
-        qps, max_resid, secs = bench_ours(mode)
+        # The remote TPU compile helper occasionally dies mid-compile
+        # (SIGSEGV surfacing as an INTERNAL JaxRuntimeError); a retry
+        # recompiles from the persistent cache and almost always
+        # succeeds. Don't let a transient runtime crash zero the bench.
+        last_err = None
+        for attempt in range(3):
+            try:
+                qps, max_resid, secs = bench_ours(mode)
+                break
+            except Exception as e:  # noqa: BLE001 - deliberate catch-all
+                last_err = e
+                print(f"# bench attempt {attempt + 1} ({mode}) failed: "
+                      f"{type(e).__name__}; retrying", file=sys.stderr)
+        else:
+            raise last_err
         ref = reference_qps(mode)
         res[mode] = (qps, (qps / ref) if ref else -1.0)
     head = modes[0]
