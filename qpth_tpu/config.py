@@ -252,13 +252,19 @@ def resolve_refine_steps(config: "SolverConfig", dtype) -> tuple[int, bool]:
     rs = config.refine_steps
     if rs != "auto":
         return int(rs), False
-    import numpy as np
-
-    if np.dtype(dtype).itemsize >= 8:
-        return 0, False
     eps = config.eps
     if eps < 1e-11 or eps > 1e-6:
+        # The reference-default eps=1e-12 is a run-to-window sentinel
+        # (see the field docstring), eps > 1e-6 an explicit low-accuracy
+        # choice: refinement off, any dtype.
         return 0, False
+    # Explicit accuracy demand: engage the budget at EVERY dtype. At f64
+    # this is not redundant — the reference's own Mehrotra loop can stall
+    # with tiny feasibility residuals but mu ~ 1e-3 on degenerate
+    # instances (reproduced bit-for-bit against the reference on a fuzz
+    # case: both return the same wrong point; 3 refinement steps recover
+    # the true solution to 2.5e-7). The early exit makes converged
+    # problems pay ~1 cheap step.
     return (6 if eps >= 1e-7 else 12), True
 
 

@@ -230,7 +230,15 @@ def _qp_bwd(config: SolverConfig, meta, res, dl_dz):
     B = dl_dz.shape[0]
     neq = Ab.shape[-2] if Ab is not None else 0
     nineq = Gb.shape[-2]
-    dt = dl_dz.dtype
+    dt = Qb.dtype
+    if dl_dz.dtype != dt:
+        # Refined forwards under x64 return a float64 solution from
+        # float32 data; the implicit-KKT backward runs in the cached
+        # factors' working dtype and must return cotangents in the
+        # primals' dtype either way.
+        dl_dz = dl_dz.astype(dt)
+        zhat, lam, s = (v.astype(dt) for v in (zhat, lam, s))
+        nu = nu.astype(dt) if nu is not None else None
 
     if factors is None:
         factors = _build_factors(Qb, Gb, Ab, config)

@@ -163,6 +163,9 @@ def test_auto_refine_policy_resolution():
     # default eps=1e-12 = the reference's run-to-window sentinel
     assert resolve_refine_steps(SolverConfig(), f32) == (0, False)
     assert resolve_refine_steps(SolverConfig(eps=1e-4), f32) == (0, False)
+    # explicit accuracy demands engage at f64 too (the reference's own
+    # loop can stall with mu ~ 1e-3 on degenerate instances)
+    assert resolve_refine_steps(SolverConfig(eps=1e-8), f64) == (12, True)
     assert resolve_refine_steps(SolverConfig(eps=1e-6), f32) == (6, True)
     assert resolve_refine_steps(SolverConfig(eps=1e-7), f32) == (6, True)
     assert resolve_refine_steps(SolverConfig(eps=1e-8), f32) == (12, True)
@@ -197,3 +200,31 @@ def test_auto_refine_eps_1em8_just_works(rng, neq):
     z_exact = (np.asarray(ref.z, np.float64)
                + np.asarray(ref.lo.z, np.float64))
     assert np.abs(z_exact - zo).max() < 1e-8
+
+
+def test_auto_refine_fixes_reference_mu_stall():
+    """Fuzz-found degenerate instance (n=1, seven inequality constraints,
+    interior optimum): the reference's Mehrotra loop — and ours, in
+    reference-parity mode — stalls at tiny feasibility residuals but
+    mu ~ 5e-3 and returns a point ~0.037 from the optimum (verified
+    bit-for-bit against the torch reference: both return z = 1.23110031
+    where the true solution is 1.19520246). The f64 accuracy dial
+    (eps=1e-8 -> auto Newton-IR refinement) must recover the true
+    solution; the unrefined run must at least REPORT the failure
+    honestly via best_resids."""
+    Q = np.array([[[1.0727172351886847]]])
+    p = np.array([[-1.2821142806660437]])
+    G = np.array([[[1.27765179], [-0.84154692], [0.04059288], [-0.42196205],
+                   [0.70045125], [-0.46241431], [-2.30122133]]])
+    h = np.array([[2.18995165, -0.90222387, 0.90901951, 0.48930716,
+                   0.8633719, 0.12413917, -1.88189942]])
+    args = [jnp.asarray(v) for v in (Q, p, G, h)]
+    base = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    # honest failure report in reference-parity mode
+    assert float(base.stats.best_resids[0]) > 1e-4
+    ref = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                   eps=1e-8))
+    assert abs(float(ref.z[0, 0]) - 1.19520246) < 1e-5
+    assert float(ref.stats.best_resids[0]) < 1e-5
