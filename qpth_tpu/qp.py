@@ -77,16 +77,18 @@ def _canonicalize(Q, p, G, h, A, b):
 
 def _build_factors(Qb, Gb, Ab, config: SolverConfig) -> kkt_ops.KKTFactors:
     """One-time prefactorization, optionally Ruiz-equilibrated first
-    (scaling.py). When equilibration is on, the factors are of the scaled
-    problem and the scaling rides along in factors.scaling so repeated
-    solves and the backward pass transform consistently; the scaled
-    matrices are never stored — their elementwise scale multiplies fuse
-    into the prefactor's first read of Q/G/A.
+    (scaling.py). ``factors.scaling`` records the coordinates the factors
+    live in and ``factors.sem_scaling`` the Ruiz scalings themselves, so
+    repeated solves and the backward pass transform consistently.
 
-    ``equilibrate="auto"`` additionally probes the data (ruiz_scalings'
-    ``probe``) and skips the norm sweeps entirely via lax.cond when the
-    problem is already well scaled — the common case pays ~one |Q|/|G|
-    read instead of ruiz_iters sweeps."""
+    ``equilibrate="auto"`` probes the data (ruiz_scalings' ``probe``):
+    well-scaled problems take the LIGHT branch — the factors (and hence
+    the IPM iterates) stay in ORIGINAL coordinates, zero matrix-scaling
+    work, with equilibration's entire effect delivered through
+    sem_scaling's vector-space semantics in the solver (see pdipm.solve)
+    — so the common case pays ~one |Q|/|G| probe read. Badly-scaled
+    problems take the classic scale-the-inputs branch (over/underflow
+    protection), where factor coordinates == semantic coordinates."""
     modes = kkt_ops.resolve_prefactor_modes(config, Qb.dtype)
     if scaling_mod.resolve_equilibrate(config, Qb.dtype):
         probe = config.equilibrate == "auto"
