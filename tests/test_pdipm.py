@@ -277,3 +277,32 @@ def test_escalate_noop_on_healthy_batch(rng):
                                    escalate="oracle"))
     assert not bool(np.asarray(esc.stats.escalated).any())
     np.testing.assert_array_equal(np.asarray(esc.z), np.asarray(base.z))
+
+
+def test_escalate_rescues_reference_shared_failure():
+    """Fuzz-found equality-constrained instance (shared Q at scale ~92,
+    n=9, neq=3) on which the Mehrotra loop stalls after 6 iterations at
+    residual ~3.9 — verified to fail IDENTICALLY in the torch reference
+    (same wrong z to 13 digits; this is the algorithm's failure mode,
+    reproduced bit-for-bit). stats must report the failure honestly, and
+    escalate="oracle" must recover the exact solution (measured residual
+    ~5e-13)."""
+    import os
+
+    import jax.numpy as jnp
+
+    import qpth_tpu
+    from qpth_tpu import SolverConfig
+
+    d = np.load(os.path.join(os.path.dirname(__file__),
+                             "data_degenerate_eq.npz"))
+    args = [jnp.asarray(d[k], jnp.float64)
+            for k in ("Q", "p", "G", "h", "A", "b")]
+    base = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1))
+    assert float(base.stats.best_resids.max()) > 1.0   # honest INACC
+    esc = qpth_tpu.solve_qp_full(
+        *args, config=SolverConfig(check_Q_spd=False, verbose=-1,
+                                   escalate="oracle"))
+    assert float(esc.stats.best_resids.max()) < 1e-8
+    assert bool(np.asarray(esc.stats.escalated).all())
