@@ -228,7 +228,8 @@ class SolverConfig:
     #: host callback (only the failing lanes are solved host-side; needs
     #: a callback-capable runtime — works on CPU and standard TPU
     #: runtimes, a no-op marking ``stats.escalated`` under the axon
-    #: tunnel). None = off (default; pure-device semantics). The f32
+    #: tunnel; under shard_map the callback runs per shard on its local
+    #: lanes). None = off (default; pure-device semantics). The f32
     #: factorization chain genuinely cannot solve cond >~ 1/eps_f32
     #: problems — dw residuals don't help when the FACTOR is the garbage
     #: part (IR contraction ~ cond * eps_f32 >= 1) — so the honest
